@@ -1,0 +1,66 @@
+"""Broadcasting and pytree helpers.
+
+Mirrors the behaviour of the reference's ``broadcast_from_below``
+(reference diffsci/torchutils.py:4-35), ``dict_map``/``dict_unsqueeze``
+(torchutils.py:68-87) and ``get_minibatch_sizes`` (utils.py:5-11), designed
+for JAX: pure functions over jnp arrays and python dicts.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax.numpy as jnp
+
+
+def bcast_right(a: jnp.ndarray, target: jnp.ndarray | int) -> jnp.ndarray:
+    """Append trailing singleton axes to ``a`` so it broadcasts against
+    ``target`` "from below" (leading axes aligned).
+
+    ``a`` has shape ``[B]`` (or ``[B, ...prefix]``), ``target`` is an array of
+    shape ``[B, *shape]`` (or its ndim). Returns ``a`` reshaped to
+    ``[B, 1, 1, ...]`` with the same ndim as ``target``.
+    """
+    ndim = target if isinstance(target, int) else target.ndim
+    a = jnp.asarray(a)
+    if a.ndim > ndim:
+        raise ValueError(f"cannot right-broadcast ndim {a.ndim} -> {ndim}")
+    return a.reshape(a.shape + (1,) * (ndim - a.ndim))
+
+
+def dict_map(fn: Callable[[Any], Any], d: Any) -> Any:
+    """Apply ``fn`` to every value of a (possibly None / non-dict) condition
+    structure. Conditions in this framework are either ``None``, a single
+    array, or a flat ``dict[str, array]`` (matching the reference's ``y``
+    convention, torchutils.py:68-74)."""
+    if d is None:
+        return None
+    if isinstance(d, dict):
+        return {k: fn(v) for k, v in d.items()}
+    return fn(d)
+
+
+def dict_expand_dims(d: Any, axis: int = 0) -> Any:
+    """``dict_unsqueeze`` analogue (reference torchutils.py:76-80)."""
+    return dict_map(lambda v: jnp.expand_dims(v, axis), d)
+
+
+def linear_interpolation(x1: jnp.ndarray,
+                         x2: jnp.ndarray,
+                         ninterp: int) -> jnp.ndarray:
+    """Linear interpolation path between two arrays with ``ninterp``
+    intermediate points, inclusive of endpoints. Returns a stacked array of
+    shape ``[ninterp + 2, *x1.shape]`` (reference torchutils.py:38-65)."""
+    alphas = jnp.linspace(0.0, 1.0, ninterp + 2)
+    alphas = alphas.reshape((-1,) + (1,) * x1.ndim)
+    return (1.0 - alphas) * x1[None] + alphas * x2[None]
+
+
+def get_minibatch_sizes(nsamples: int, maximum_batch_size: int) -> list[int]:
+    """Split ``nsamples`` into chunks of at most ``maximum_batch_size``
+    (reference utils.py:5-11)."""
+    nbatches, remainder = divmod(nsamples, maximum_batch_size)
+    sizes = [maximum_batch_size] * nbatches
+    if remainder:
+        sizes.append(remainder)
+    return sizes

@@ -1,0 +1,13 @@
+"""Test configuration: force an 8-device virtual CPU platform so every test
+exercises the same multi-device code paths the TPU mesh uses, without TPU
+hardware (see SURVEY.md §4: the reference has no multi-device tests; this
+build adds them)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")

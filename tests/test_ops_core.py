@@ -1,0 +1,291 @@
+"""Unit tests for the diffusion math core (L1), mirroring the reference's
+analytic gold standard (tests/test_karras_on_toy_dataset.py) plus grid /
+preconditioner / noise-sampler pins."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffsci_tpu import ops, data
+
+
+# ---------------------------------------------------------------------------
+# grids
+# ---------------------------------------------------------------------------
+def test_edm_grid_matches_karras_formula():
+    sched = ops.EDMScheduler()
+    n = 19  # 18 steps
+    t = sched.create_steps(n)
+    assert t.shape == (n,)
+    assert t[0] == pytest.approx(80.0)
+    assert t[-2] == pytest.approx(0.002)
+    assert t[-1] == 0.0
+    # rho-grid formula
+    rho = 7.0
+    s = np.arange(n - 1) / (n - 2)
+    expected = (80.0 ** (1 / rho) + s * (0.002 ** (1 / rho) - 80.0 ** (1 / rho))) ** rho
+    np.testing.assert_allclose(t[:-1], expected, rtol=1e-12)
+    assert np.all(np.diff(t) < 0)
+
+
+def test_vp_ve_grids():
+    vp = ops.VPScheduler()
+    t = vp.create_steps(11)
+    assert t[0] == pytest.approx(1.0)
+    assert t[-1] == pytest.approx(0.001)
+    ve = ops.VEScheduler()
+    t = ve.create_steps(11)
+    assert t[0] == pytest.approx(100.0 ** 2)
+    assert t[-1] == pytest.approx(0.02 ** 2)
+
+
+def test_scheduling_function_identities():
+    for sf in (ops.EDMSchedulingFunctions(), ops.VPSchedulingFunctions(),
+               ops.VESchedulingFunctions()):
+        t = jnp.linspace(0.05, 0.9, 7)
+        sig = sf.noise(t)
+        np.testing.assert_allclose(sf.inverse_noise(sig), t,
+                                   rtol=1e-4, atol=1e-5)
+        # derivative check by finite differences
+        eps = 1e-3
+        fd = (sf.noise(t + eps) - sf.noise(t - eps)) / (2 * eps)
+        np.testing.assert_allclose(sf.noise_deriv(t), fd, rtol=2e-3, atol=1e-4)
+        fd_s = (sf.scale(t + eps) - sf.scale(t - eps)) / (2 * eps)
+        np.testing.assert_allclose(sf.scale_deriv(t), fd_s, rtol=2e-3,
+                                   atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# preconditioners
+# ---------------------------------------------------------------------------
+def test_edm_preconditioner_table1():
+    pre = ops.EDMPreconditioner(sigma_data=0.5)
+    sigma = jnp.array([0.1, 1.0, 10.0])
+    c_skip, c_out, c_in, c_noise = pre.coefficients(sigma)
+    sd = 0.5
+    np.testing.assert_allclose(c_skip, sd**2 / (sigma**2 + sd**2), rtol=1e-6)
+    np.testing.assert_allclose(c_out, sigma * sd / np.sqrt(sigma**2 + sd**2),
+                               rtol=1e-6)
+    np.testing.assert_allclose(c_in, 1 / np.sqrt(sigma**2 + sd**2), rtol=1e-6)
+    np.testing.assert_allclose(c_noise, 0.25 * np.log(sigma**2), rtol=1e-5)
+    # EDM identity: c_skip^2 + c_out^2/sd^2 * (sigma^2+sd^2)/sd^2 ... simpler:
+    # variance preservation c_in^2 (sigma^2 + sd^2) == 1
+    np.testing.assert_allclose(c_in**2 * (sigma**2 + sd**2), 1.0, rtol=1e-6)
+
+
+def test_null_preconditioner_is_identity_wiring():
+    pre = ops.NullPreconditioner()
+    sigma = jnp.array([0.3, 2.0])
+    c_skip, c_out, c_in, c_noise = pre.coefficients(sigma)
+    np.testing.assert_allclose(c_skip, 0.0)
+    np.testing.assert_allclose(c_out, 1.0)
+    np.testing.assert_allclose(c_in, 1.0)
+    np.testing.assert_allclose(c_noise, sigma)
+
+
+# ---------------------------------------------------------------------------
+# noise samplers
+# ---------------------------------------------------------------------------
+def test_edm_noise_sampler_lognormal_stats():
+    ns = ops.EDMNoiseSampler()
+    key = jax.random.PRNGKey(0)
+    sigma = ns.sample(key, (20000,))
+    logsig = jnp.log(sigma)
+    assert jnp.mean(logsig) == pytest.approx(-1.2, abs=0.05)
+    assert jnp.std(logsig) == pytest.approx(1.2, abs=0.05)
+    w = ns.loss_weighting(jnp.array([0.5]))
+    np.testing.assert_allclose(w, (0.25 + 0.25) / (0.25 * 0.25), rtol=1e-6)
+
+
+def test_ve_noise_sampler_loguniform_range():
+    ns = ops.VENoiseSampler(sigma_min=0.02, sigma_max=100.0)
+    sigma = ns.sample(jax.random.PRNGKey(1), (5000,))
+    assert jnp.min(sigma) >= 0.02
+    assert jnp.max(sigma) <= 100.0
+
+
+# ---------------------------------------------------------------------------
+# analytic propagation: the gold standard
+# (mirrors reference tests/test_karras_on_toy_dataset.py:8-27)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("dim,nsteps,nsamples", [(1, 100, 100), (3, 200, 10)])
+def test_edm_backward_propagation_to_zero_dataset(dim, nsteps, nsamples):
+    dataset = data.ZeroDataset(num_samples=16, shape=[dim])
+    sched = ops.EDMScheduler()
+    key = jax.random.PRNGKey(42)
+    x = jax.random.normal(key, (nsamples, dim))
+
+    score_fn = dataset.gradlogprob
+    history = sched.propagate_backward(key, x, score_fn, nsteps,
+                                       record_history=True)
+    assert history.shape == (nsteps + 1, nsamples, dim)
+    np.testing.assert_allclose(history[0], x, rtol=1e-6)
+    np.testing.assert_allclose(history[-1], 0.0, rtol=1e-2, atol=1e-2)
+
+    # non-history variant agrees with the last history row
+    out = sched.propagate_backward(key, x, score_fn, nsteps)
+    np.testing.assert_allclose(out, history[-1], rtol=1e-5, atol=1e-6)
+
+
+def test_propagation_is_jittable():
+    dataset = data.ZeroDataset(num_samples=4, shape=[2])
+    sched = ops.EDMScheduler()
+
+    @jax.jit
+    def run(key, x):
+        return sched.propagate_backward(key, x, dataset.gradlogprob, 50)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 2))
+    out = run(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(out, 0.0, atol=1e-2)
+
+
+def test_euler_vs_heun_orders():
+    """Heun should be much closer to the analytic solution than Euler on a
+    Gaussian dataset with few steps."""
+    dataset = data.ZeroMeanGaussianDataset(num_samples=4, shape=[2], scale=1.0)
+    sched = ops.EDMScheduler()
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (64, 2)) * sched.maximum_scale
+
+    # analytic ODE solution for zero-mean Gaussian (EDM, sigma(t)=t):
+    # x(t) = x(T) * sqrt((s^2 + t^2) / (s^2 + T^2))
+    T = sched.maximum_scale
+    target = x * np.sqrt(1.0 / (1.0 + T ** 2))
+
+    heun = sched.propagate_backward(key, x, dataset.gradlogprob, 50)
+    euler = sched.propagate_backward(key, x, dataset.gradlogprob, 50,
+                                     integrator=ops.EulerIntegrator())
+    err_heun = jnp.max(jnp.abs(heun - target))
+    err_euler = jnp.max(jnp.abs(euler - target))
+    assert err_heun < err_euler / 3
+    assert err_heun < 3e-2
+
+
+def test_stochastic_propagation_distribution():
+    """Euler-Maruyama backward SDE on a zero-mean Gaussian should produce
+    approximately the data distribution."""
+    dataset = data.ZeroMeanGaussianDataset(num_samples=4, shape=[1], scale=1.0)
+    sched = ops.EDMScheduler()
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(key, (4096, 1)) * sched.maximum_scale
+    out = sched.propagate_backward(key, x, dataset.gradlogprob, 200,
+                                   stochastic=True)
+    assert jnp.mean(out) == pytest.approx(0.0, abs=0.1)
+    assert jnp.std(out) == pytest.approx(1.0, abs=0.1)
+
+
+def test_karras_churn_integrator():
+    dataset = data.ZeroDataset(num_samples=4, shape=[2])
+    sched = ops.EDMScheduler()
+    churn = ops.KarrasIntegrator(scheduling=sched.scheduling)
+    key = jax.random.PRNGKey(11)
+    x = jax.random.normal(key, (32, 2)) * sched.maximum_scale
+    out = sched.propagate_backward(key, x, dataset.gradlogprob, 100,
+                                   integrator=churn)
+    np.testing.assert_allclose(out, 0.0, atol=2e-2)
+
+
+def test_forward_propagation_history_shape():
+    dataset = data.ZeroMeanGaussianDataset(num_samples=4, shape=[2])
+    sched = ops.EDMScheduler()
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(key, (8, 2))
+    nsteps = 50
+    hist = sched.propagate_forward(key, x, dataset.gradlogprob, nsteps,
+                                   record_history=True)
+    assert hist.shape == (nsteps + 1, 8, 2)
+    # index 0 and 1 both hold the starting state (forward integration skips
+    # the singular t=0 step; the reference left index 0 as zeros)
+    np.testing.assert_allclose(hist[0], x, rtol=1e-6)
+    np.testing.assert_allclose(hist[1], x, rtol=1e-6)
+    # the end state should be noised up to ~sigma_max scale
+    assert jnp.std(hist[-1]) > 10.0
+
+
+def test_apply_noise_and_renoise():
+    sched = ops.EDMScheduler()
+    key = jax.random.PRNGKey(9)
+    x = jnp.zeros((4096, 1))
+    noised = sched.apply_noise(key, x, nsteps=100, step=0)
+    assert jnp.std(noised) == pytest.approx(80.0, rel=0.05)
+    t = sched.create_steps(101)
+    renoised = sched.renoise(key, x, float(t[50]), float(t[10]))
+    sig_expected = np.sqrt(float(t[10]) ** 2 - float(t[50]) ** 2)
+    assert jnp.std(renoised) == pytest.approx(sig_expected, rel=0.05)
+
+
+def test_vp_scheduler_propagation():
+    """VP has non-constant scaling: checks the scaled rhs branch."""
+    dataset = data.ZeroMeanGaussianDataset(num_samples=4, shape=[1],
+                                           scale=1.0)
+    sched = ops.VPScheduler()
+    key = jax.random.PRNGKey(13)
+    x = jax.random.normal(key, (2048, 1)) * sched.maximum_scale
+    out = sched.propagate_backward(key, x, dataset.gradlogprob, 200)
+    # deterministic probability flow: marginal should approach the data law
+    assert jnp.std(out) == pytest.approx(1.0, abs=0.1)
+    assert jnp.mean(out) == pytest.approx(0.0, abs=0.1)
+
+
+# ---------------------------------------------------------------------------
+# inpaint / repaint
+# ---------------------------------------------------------------------------
+def test_inpaint_keeps_known_region():
+    dataset = data.ZeroDataset(num_samples=4, shape=[4])
+    sched = ops.EDMScheduler()
+    key = jax.random.PRNGKey(21)
+    nsteps = 50
+    B = 8
+    x_orig = jnp.ones((B, 4)) * 0.35
+    mask = jnp.array([1.0, 1.0, 0.0, 0.0])  # first half known
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    fwd = sched.propagate_forward(k1, x_orig, dataset.gradlogprob, nsteps,
+                                  record_history=True, stochastic=True)
+    y_noised = fwd[::-1]  # index k = grid time t[k]
+    x = jax.random.normal(k2, (B, 4)) * sched.maximum_scale
+    out = sched.inpaint(k3, x, y_noised, mask, dataset.gradlogprob, nsteps)
+    assert out.shape == (B, 4)
+    # known region = original, unknown region ~ dataset (zeros)
+    np.testing.assert_allclose(out[:, :2], 0.35, rtol=1e-5)
+    np.testing.assert_allclose(out[:, 2:], 0.0, atol=5e-2)
+
+
+def test_repaint_shapes_and_known_region():
+    dataset = data.ZeroDataset(num_samples=4, shape=[4])
+    sched = ops.EDMScheduler()
+    key = jax.random.PRNGKey(23)
+    nsteps, rsteps, nresamples = 20, 5, 3
+    B = 4
+    x_orig = jnp.ones((B, 4)) * 0.2
+    mask = jnp.array([1.0, 0.0, 0.0, 0.0])
+    k1, k2, k3 = jax.random.split(key, 3)
+    fwd = sched.propagate_forward(k1, x_orig, dataset.gradlogprob, nsteps,
+                                  record_history=True, stochastic=True)
+    y_noised = fwd[::-1]
+    x = jax.random.normal(k2, (B, 4)) * sched.maximum_scale
+    out = sched.repaint(k3, x, y_noised, mask, dataset.gradlogprob,
+                        nsteps=nsteps, rsteps=rsteps, nresamples=nresamples)
+    assert out.shape == (B, 4)
+    hist = sched.repaint(k3, x, y_noised, mask, dataset.gradlogprob,
+                         nsteps=nsteps, rsteps=rsteps, nresamples=nresamples,
+                         record_history=True)
+    expected_rows = int(nresamples * (nsteps / rsteps - 1)) + 2
+    assert hist.shape == (expected_rows, B, 4)
+
+
+# ---------------------------------------------------------------------------
+# langevin knobs
+# ---------------------------------------------------------------------------
+def test_langevin_factor_and_interval_gate():
+    sched = ops.EDMScheduler(langevin_const=2.0)
+    t = jnp.array(3.0)
+    # EDM: s=1, sigma'sigma = t -> factor = const * t
+    np.testing.assert_allclose(sched.langevin_factor(t), 6.0, rtol=1e-6)
+    np.testing.assert_allclose(sched.noise_injection(t), np.sqrt(12.0),
+                               rtol=1e-6)
+    sched2 = ops.EDMScheduler(langevin_const=2.0, langevin_interval=(1.0, 5.0))
+    gates = sched2._langevin_gate(np.array([0.5, 3.0, 10.0]))
+    np.testing.assert_allclose(gates, [0.0, 1.0, 0.0])
