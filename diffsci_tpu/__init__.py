@@ -13,4 +13,13 @@ from diffsci_tpu import ops
 from diffsci_tpu import data
 from diffsci_tpu import utils
 
-__all__ = ["ops", "data", "utils"]
+__all__ = ["ops", "data", "utils", "models", "parallel", "trainer",
+           "checkpoint", "kernels"]
+
+
+def __getattr__(name):
+    # lazy: models/parallel/trainer pull in flax/optax/orbax
+    if name in ("models", "parallel", "trainer", "checkpoint", "kernels"):
+        import importlib
+        return importlib.import_module(f"diffsci_tpu.{name}")
+    raise AttributeError(f"module 'diffsci_tpu' has no attribute {name!r}")

@@ -1,0 +1,117 @@
+"""Checkpointing: orbax persistence of TrainState (params + opt state + EMA
+profiles + step) with JSON config descriptions, plus a models.json registry.
+
+Replaces the reference's Lightning ModelCheckpoint + custom EMA/L2-SP
+checkpoint injection (reference karrasmodule_new.py:2159-2188) and the
+``models.json`` loader (reference diffsci/models/loader.py:7-87 — which
+used ``eval`` on class names; here the config tag registry rebuilds
+components declaratively).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(path: str | pathlib.Path, state,
+                    description: dict[str, Any] | None = None) -> None:
+    """Save a TrainState pytree (and an optional JSON description next to
+    it) with orbax."""
+    path = pathlib.Path(path).absolute()
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path / "state", state)
+    ckptr.wait_until_finished()
+    if description is not None:
+        (path / "description.json").write_text(json.dumps(description,
+                                                          indent=2))
+
+
+def restore_checkpoint(path: str | pathlib.Path, state_template):
+    """Restore a TrainState given a template with matching structure
+    (e.g. a freshly created state)."""
+    path = pathlib.Path(path).absolute()
+    ckptr = ocp.StandardCheckpointer()
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_template)
+    return ckptr.restore(path / "state", abstract)
+
+
+def load_description(path: str | pathlib.Path) -> dict[str, Any] | None:
+    p = pathlib.Path(path) / "description.json"
+    return json.loads(p.read_text()) if p.exists() else None
+
+
+class CheckpointManager:
+    """Top-k + save-last management (ModelCheckpoint analogue,
+    reference scripts/training/train-diffusion-cifar10.py:78-85)."""
+
+    def __init__(self, directory: str | pathlib.Path, max_to_keep: int = 3,
+                 monitor: str = "valid_loss", mode: str = "min"):
+        self.directory = pathlib.Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            best_fn=lambda metrics: metrics.get(monitor, float("inf")),
+            best_mode=mode)
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state, metrics: dict[str, float]):
+        metrics = {k: float(v) for k, v in metrics.items()}
+        self._mgr.save(step, args=ocp.args.StandardSave(state),
+                       metrics=metrics)
+
+    def restore_latest(self, state_template):
+        step = self._mgr.latest_step()
+        if step is None:
+            return None, None
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct,
+                                state_template)
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(abstract)), step
+
+    def restore_best(self, state_template):
+        step = self._mgr.best_step()
+        if step is None:
+            return None, None
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct,
+                                state_template)
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(abstract)), step
+
+    def close(self):
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+
+class ModelRegistry:
+    """models.json registry: identifier -> {checkpoint, description}
+    (reference loader.py:7-87, without eval())."""
+
+    def __init__(self, registry_path: str | pathlib.Path):
+        self.registry_path = pathlib.Path(registry_path)
+
+    def _read(self) -> dict:
+        if self.registry_path.exists():
+            return json.loads(self.registry_path.read_text())
+        return {}
+
+    def list_models(self) -> list[str]:
+        return sorted(self._read().keys())
+
+    def register(self, name: str, checkpoint_path: str,
+                 description: dict[str, Any]) -> None:
+        entries = self._read()
+        entries[name] = {"checkpoint": str(checkpoint_path),
+                         "description": description}
+        self.registry_path.write_text(json.dumps(entries, indent=2))
+
+    def entry(self, name: str) -> dict[str, Any]:
+        entries = self._read()
+        if name not in entries:
+            raise KeyError(f"unknown model: {name!r}; "
+                           f"known: {sorted(entries)}")
+        return entries[name]

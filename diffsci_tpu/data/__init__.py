@@ -1,5 +1,6 @@
 """Analytic toy datasets (the reference's diffsci/data/)."""
 
+from diffsci_tpu.data.loading import ArrayDataLoader, train_val_split
 from diffsci_tpu.data.toy_datasets import (
     AnalyticalDataset,
     SinglePointDataset,
@@ -14,6 +15,7 @@ from diffsci_tpu.data.toy_datasets import (
 )
 
 __all__ = [
+    "ArrayDataLoader", "train_val_split",
     "AnalyticalDataset", "SinglePointDataset", "SingleGaussianDataset",
     "ZeroDataset", "ZeroMeanGaussianDataset", "MixtureOfPointsDataset",
     "MixtureOfGaussiansDataset", "DiagonalGaussianDataset",

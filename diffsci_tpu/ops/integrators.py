@@ -124,7 +124,10 @@ class KarrasIntegrator(Integrator):
         t_noise = sf.inverse_noise(sigma_noise)
         scale = sf.scale(t)
         scale_noise = sf.scale(t_noise)
-        std = scale_noise * jnp.sqrt(sigma_noise ** 2 - sigma ** 2)
+        # clamp: XLA's FMA fusion can make sigma_noise^2 - sigma^2 tiny
+        # negative when gamma == 0, which would sqrt to NaN
+        std = scale_noise * jnp.sqrt(
+            jnp.maximum(sigma_noise ** 2 - sigma ** 2, 0.0))
         noise = jax.random.normal(key, x.shape, x.dtype)
         x_noise = (scale_noise / scale) * x + std * self.s_noise * noise
 

@@ -338,7 +338,8 @@ class Scheduler:
         sigma_noise = sf.noise(jnp.float32(t_noise))
         scale = sf.scale(jnp.float32(t))
         scale_noise = sf.scale(jnp.float32(t_noise))
-        std = scale_noise * jnp.sqrt(sigma_noise ** 2 - sigma ** 2)
+        std = scale_noise * jnp.sqrt(
+            jnp.maximum(sigma_noise ** 2 - sigma ** 2, 0.0))
         return (scale_noise / scale) * x + std * jax.random.normal(
             key, x.shape, x.dtype)
 

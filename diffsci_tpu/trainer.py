@@ -1,0 +1,181 @@
+"""Thin host-side training loop: epochs, metric logging, checkpointing,
+EMA-swapped validation, profiling hooks.
+
+Replaces lightning.Trainer in the reference's stack (SURVEY.md §1 L3/L4).
+All compute lives in the jitted train/eval steps (models/karras/train.py);
+this loop only shuffles data, moves batches onto the mesh, and does
+bookkeeping — it never touches tensors elementwise.
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import pathlib
+import time
+from typing import Any, Callable, Iterable, Optional
+
+import numpy as np
+import jax
+
+from diffsci_tpu.parallel import shard_batch
+
+
+class MetricLogger:
+    """JSONL metric log + running averages (TensorBoard-free default; the
+    file is trivially convertible)."""
+
+    def __init__(self, log_dir: str | pathlib.Path | None = None):
+        self.history: list[dict] = []
+        self.log_path = None
+        if log_dir is not None:
+            p = pathlib.Path(log_dir)
+            p.mkdir(parents=True, exist_ok=True)
+            self.log_path = p / "metrics.jsonl"
+
+    def log(self, step: int, metrics: dict[str, Any]):
+        row = {"step": int(step)}
+        row.update({k: float(v) for k, v in metrics.items()})
+        self.history.append(row)
+        if self.log_path is not None:
+            with open(self.log_path, "a") as f:
+                f.write(json.dumps(row) + "\n")
+
+    def last(self, key: str, default=None):
+        for row in reversed(self.history):
+            if key in row:
+                return row[key]
+        return default
+
+
+class Trainer:
+    """Epoch loop over jitted steps.
+
+    fit(state, step_fn, train_loader, eval_fn=None, val_loader=None)
+    where step_fn(state, key, x, y, mask) -> (state, metrics) and batches
+    from the loaders are either arrays (x) or tuples matching the model's
+    select_batch convention.
+    """
+
+    def __init__(self,
+                 max_epochs: int = 1,
+                 max_steps: int | None = None,
+                 mesh=None,
+                 seed: int = 0,
+                 log_every: int = 50,
+                 val_every_epochs: int = 1,
+                 checkpoint_manager=None,
+                 log_dir: str | pathlib.Path | None = None,
+                 select_batch: Callable | None = None,
+                 profile_dir: str | pathlib.Path | None = None,
+                 profile_steps: tuple[int, int] | None = None):
+        self.max_epochs = max_epochs
+        self.max_steps = max_steps
+        self.mesh = mesh
+        self.seed = seed
+        self.log_every = log_every
+        self.val_every_epochs = val_every_epochs
+        self.checkpoint_manager = checkpoint_manager
+        self.logger = MetricLogger(log_dir)
+        self.select_batch = select_batch or (lambda b: (b, None, None))
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
+
+    def _place(self, tree):
+        if self.mesh is None:
+            return tree
+        return shard_batch(tree, self.mesh)
+
+    def fit(self, state, step_fn, train_loader: Iterable,
+            eval_fn: Optional[Callable] = None,
+            val_loader: Optional[Iterable] = None):
+        key = jax.random.PRNGKey(self.seed)
+        step = int(jax.device_get(state.step))
+        t_start = time.perf_counter()
+        images_seen = 0
+        for epoch in range(self.max_epochs):
+            for batch in train_loader:
+                x, y, mask = self.select_batch(batch)
+                x = self._place(x)
+                y = self._place(y) if y is not None else None
+                mask = self._place(mask) if mask is not None else None
+                key, sub = jax.random.split(key)
+                if (self.profile_dir and self.profile_steps
+                        and step == self.profile_steps[0]):
+                    jax.profiler.start_trace(str(self.profile_dir))
+                state, metrics = step_fn(state, sub, x, y, mask)
+                if (self.profile_dir and self.profile_steps
+                        and step == self.profile_steps[1]):
+                    jax.block_until_ready(metrics["train_loss"])
+                    jax.profiler.stop_trace()
+                step += 1
+                images_seen += x.shape[0]
+                if step % self.log_every == 0 or step == 1:
+                    metrics = jax.device_get(metrics)
+                    elapsed = time.perf_counter() - t_start
+                    metrics["imgs_per_sec"] = images_seen / max(elapsed, 1e-9)
+                    self.logger.log(step, metrics)
+                if self.max_steps is not None and step >= self.max_steps:
+                    break
+            if (eval_fn is not None and val_loader is not None
+                    and (epoch + 1) % self.val_every_epochs == 0):
+                val_metrics = self.validate(state, eval_fn, val_loader, key)
+                self.logger.log(step, val_metrics)
+                if self.checkpoint_manager is not None:
+                    self.checkpoint_manager.save(step, state, val_metrics)
+            if self.max_steps is not None and step >= self.max_steps:
+                break
+        return state
+
+    def validate(self, state, eval_fn, val_loader, key) -> dict[str, float]:
+        sums = collections.defaultdict(float)
+        count = 0
+        for batch in val_loader:
+            x, y, mask = self.select_batch(batch)
+            x = self._place(x)
+            y = self._place(y) if y is not None else None
+            mask = self._place(mask) if mask is not None else None
+            key, sub = jax.random.split(key)
+            metrics = jax.device_get(eval_fn(state, sub, x, y, mask))
+            for k, v in metrics.items():
+                sums[k] += float(v)
+            count += 1
+        return {k: v / max(count, 1) for k, v in sums.items()}
+
+
+def fit_karras(model, dataset, *, batch_size=32, max_epochs=1,
+               max_steps=None, mesh=None, ema=None, optimizer=None,
+               seed=0, val_fraction=0.0, log_dir=None,
+               checkpoint_manager=None, x_shape=None, y_example=None):
+    """One-call convenience: build state + steps + loaders and train a
+    KarrasModel (the analogue of the reference's script boilerplate)."""
+    from diffsci_tpu.models.karras.train import (create_train_state,
+                                                 make_train_step,
+                                                 make_eval_step)
+    from diffsci_tpu.data.loading import ArrayDataLoader, train_val_split
+
+    if x_shape is None:
+        probe = dataset if not isinstance(dataset, tuple) else dataset[0]
+        x_shape = (batch_size,) + tuple(probe.shape[1:])
+    key = jax.random.PRNGKey(seed)
+    state, tx = create_train_state(model, key, x_shape, y_example,
+                                   ema=ema, optimizer=optimizer)
+    if mesh is not None:
+        from diffsci_tpu.parallel import replicate
+        state = replicate(state, mesh)
+    step_fn = make_train_step(model, tx, ema=ema)
+    eval_fn = None
+    val_loader = None
+    if val_fraction > 0:
+        train_ds, val_ds = train_val_split(dataset, val_fraction, seed)
+        val_loader = ArrayDataLoader(val_ds, batch_size, shuffle=False)
+        eval_fn = make_eval_step(model, ema=ema)
+    else:
+        train_ds = dataset
+    train_loader = ArrayDataLoader(train_ds, batch_size, seed=seed)
+    trainer = Trainer(max_epochs=max_epochs, max_steps=max_steps, mesh=mesh,
+                      seed=seed, log_dir=log_dir,
+                      checkpoint_manager=checkpoint_manager,
+                      select_batch=model.select_batch)
+    state = trainer.fit(state, step_fn, train_loader, eval_fn, val_loader)
+    return state, trainer

@@ -1,0 +1,171 @@
+"""End-to-end KarrasModel tests on analytic oracles, mirroring the
+reference's gold standard (tests/test_karras_on_toy_dataset.py) plus loss /
+training-step / sampling behaviour."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import pytest
+
+from diffsci_tpu import ops, data
+from diffsci_tpu.models import (KarrasModel, KarrasModelConfig, MLPUncond,
+                                create_train_state, make_train_step,
+                                make_eval_step)
+from diffsci_tpu.ops import NullPreconditioner
+
+
+class OracleModel(nn.Module):
+    """Wraps the analytic optimal denoiser as a 'network' with one dummy
+    parameter (the reference's ToyModel,
+    test_karras_on_toy_dataset.py:29-35). Used with NullPreconditioner so
+    D(x, sigma) = model(x, sigma) exactly."""
+    dataset: data.AnalyticalDataset
+
+    @nn.compact
+    def __call__(self, x, t=None, y=None, train: bool = False):
+        dummy = self.param("dummy", nn.initializers.ones, ())
+        return self.dataset.denoiser(x, t) + 0.0 * dummy * x
+
+
+def make_oracle_module(dataset):
+    config = KarrasModelConfig.from_edm()
+    config.preconditioner = NullPreconditioner()
+    model = KarrasModel(OracleModel(dataset), config)
+    variables = model.init(jax.random.PRNGKey(0), (2,) + dataset.shape)
+    return model, variables
+
+
+@pytest.mark.parametrize("dim,nsteps,nsamples", [(1, 100, 100), (3, 500, 10)])
+def test_karras_on_zero_dataset(dim, nsteps, nsamples):
+    dataset = data.ZeroDataset(num_samples=64, shape=[dim])
+    model, variables = make_oracle_module(dataset)
+    key = jax.random.PRNGKey(42)
+    x = jax.random.normal(key, (nsamples, dim))
+
+    samples = model.propagate_white_noise(variables, key, x, nsteps=nsteps)
+    assert samples.shape == (nsamples, dim)
+    assert jnp.max(jnp.abs(samples)) < 1e-2
+
+    out = model.sample(variables, key, nsamples, (dim,), nsteps=nsteps)
+    assert out.shape == (nsamples, dim)
+    assert jnp.max(jnp.abs(out)) < 1e-2
+
+    history = model.propagate_white_noise(variables, key, x, nsteps=nsteps,
+                                          record_history=True)
+    assert history.shape == (nsteps + 1, nsamples, dim)
+    np.testing.assert_allclose(
+        history[0], x * model.config.noisescheduler.maximum_scale, rtol=1e-5)
+    np.testing.assert_allclose(history[-1], 0.0, rtol=1e-2, atol=1e-2)
+
+
+def test_oracle_loss_is_zero():
+    """With the oracle denoiser the EDM loss must be ~0
+    (test_karras_on_toy_dataset.py:84-85)."""
+    dataset = data.ZeroDataset(num_samples=64, shape=[2])
+    config = KarrasModelConfig.from_edm(loss_metric="mse")
+    config.preconditioner = NullPreconditioner()
+    model = KarrasModel(OracleModel(dataset), config)
+    variables = model.init(jax.random.PRNGKey(0), (8, 2))
+
+    key = jax.random.PRNGKey(1)
+    x = dataset.sample(key)[:32]
+    sigma = model.config.noisesampler.sample(key, (32,))
+    loss, _ = model.loss_fn(variables, key, x, sigma)
+    assert float(loss) < 1e-8
+
+
+def test_train_step_runs_and_mlp_learns():
+    """An MLP trained with the jitted train step on ZeroDataset should
+    rapidly reduce the loss (test_karras_on_toy_dataset.py:87-91)."""
+    dim = 2
+    dataset = data.ZeroDataset(num_samples=2048, shape=[dim])
+    config = KarrasModelConfig.from_edm(loss_metric="mse")
+    model = KarrasModel(MLPUncond(dim=dim, hidden_dims=[32, 32]), config)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), (8, dim))
+    step_fn = make_train_step(model, tx)
+
+    key = jax.random.PRNGKey(0)
+    xs = dataset.sample(key)
+    losses = []
+    for i in range(60):
+        key, sub = jax.random.split(key)
+        batch = xs[(i * 32) % 2048:(i * 32) % 2048 + 32]
+        state, metrics = step_fn(state, sub, batch)
+        losses.append(float(metrics["train_loss"]))
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.5
+    assert int(state.step) == 60
+
+    eval_fn = make_eval_step(model)
+    val = eval_fn(state, key, xs[:64])
+    assert np.isfinite(float(val["valid_loss"]))
+
+
+def test_sampling_jit_cache_reuse():
+    dataset = data.ZeroDataset(num_samples=8, shape=[2])
+    model, variables = make_oracle_module(dataset)
+    key = jax.random.PRNGKey(0)
+    model.sample(variables, key, 4, (2,), nsteps=10)
+    n_before = len(model._jit_cache)
+    model.sample(variables, key, 4, (2,), nsteps=10)
+    assert len(model._jit_cache) == n_before  # cache hit, no re-jit
+
+
+def test_sample_micro_batching():
+    dataset = data.ZeroDataset(num_samples=8, shape=[2])
+    model, variables = make_oracle_module(dataset)
+    out = model.sample(variables, jax.random.PRNGKey(0), 10, (2,),
+                       nsteps=20, maximum_batch_size=4)
+    assert out.shape == (10, 2)
+    assert jnp.max(jnp.abs(out)) < 1e-2
+
+
+def test_guidance_requires_conditional_flag():
+    """Unconditional model ignores y and guidance (single forward)."""
+    dataset = data.ZeroDataset(num_samples=8, shape=[2])
+    model, variables = make_oracle_module(dataset)
+    x = jnp.ones((4, 2))
+    sigma = jnp.ones((4,))
+    d1, _ = model.get_denoiser(variables, x, sigma)
+    d2, _ = model.get_denoiser(variables, x, sigma, guidance=3.0)
+    np.testing.assert_allclose(d1, d2)
+
+
+def test_model_inpaint_shapes():
+    dataset = data.ZeroDataset(num_samples=8, shape=[4])
+    model, variables = make_oracle_module(dataset)
+    key = jax.random.PRNGKey(0)
+    x_orig = jnp.full((3, 4), 0.2)
+    mask = jnp.array([1.0, 0.0, 0.0, 0.0])
+    out = model.inpaint(variables, key, x_orig, mask, nsteps=20)
+    assert out.shape == (3, 4)
+    np.testing.assert_allclose(out[:, 0], 0.2, atol=1e-4)
+    out_rp = model.repaint(variables, key, x_orig, mask, nsteps=20,
+                           rsteps=5, nresamples=2)
+    assert out_rp.shape == (3, 4)
+
+
+def test_interpolate_images():
+    dataset = data.ZeroMeanGaussianDataset(num_samples=8, shape=[2])
+    model, variables = make_oracle_module(dataset)
+    key = jax.random.PRNGKey(0)
+    x1 = jnp.array([1.0, 0.0])
+    x2 = jnp.array([-1.0, 0.0])
+    out = model.interpolate_images(variables, key, x1, x2, ninterp=3,
+                                   nsteps=50)
+    assert out.shape == (5, 2)
+    assert jnp.all(jnp.isfinite(out))
+
+
+def test_config_tag_roundtrip():
+    config = KarrasModelConfig.from_edm(sigma_data=0.7)
+    desc = config.export_description()
+    config2 = KarrasModelConfig.load_from_description_with_tag(desc)
+    assert config2.tag == "edm"
+    assert config2.preconditioner.sigma_data == 0.7
+    for factory in (KarrasModelConfig.from_vp, KarrasModelConfig.from_ve,
+                    KarrasModelConfig.conditional_sr3):
+        c = factory()
+        c2 = KarrasModelConfig.load_from_description_with_tag(
+            c.export_description())
+        assert c2.tag == c.tag

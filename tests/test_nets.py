@@ -1,0 +1,270 @@
+"""Shape and behaviour tests for the network layer library and PUNetG
+(mirrors reference tests/test_punetg.py and tests/test_layers.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffsci_tpu.models import nets
+from diffsci_tpu.models.nets import layers
+
+
+KEY = jax.random.PRNGKey(0)
+
+
+def init_and_apply(module, *args, **kwargs):
+    variables = module.init({"params": KEY, "dropout": KEY}, *args, **kwargs)
+    out = module.apply(variables, *args, **kwargs,
+                       rngs={"dropout": jax.random.PRNGKey(1)})
+    return out, variables
+
+
+# ---------------------------------------------------------------------------
+# layers
+# ---------------------------------------------------------------------------
+def test_gaussian_fourier_projection():
+    mod = layers.GaussianFourierProjection(embed_dim=32)
+    t = jnp.linspace(0, 1, 5)
+    out, variables = init_and_apply(mod, t)
+    assert out.shape == (5, 32)
+    assert "buffers" in variables  # W is a non-trainable buffer
+    assert "params" not in variables
+    # sin^2 + cos^2 = 1
+    np.testing.assert_allclose(out[:, :16] ** 2 + out[:, 16:] ** 2, 1.0,
+                               rtol=1e-5)
+
+
+@pytest.mark.parametrize("cls,sub_mean,spatial", [
+    (layers.GroupRMSNorm, False, True),
+    (layers.GroupPixNorm, False, False),
+    (layers.GroupLNorm, True, True),
+])
+def test_group_norms(cls, sub_mean, spatial):
+    x = jax.random.normal(KEY, (2, 8, 8, 16)) * 3.0 + 1.0
+    mod = cls(num_groups=4, num_channels=16, affine=False)
+    out, _ = init_and_apply(mod, x)
+    assert out.shape == x.shape
+    xg = np.asarray(out).reshape(2, 8, 8, 4, 4)
+    if spatial:
+        axes = (1, 2, 4)
+    else:
+        axes = (4,)
+    ms = (xg ** 2).mean(axis=axes)
+    np.testing.assert_allclose(ms, 1.0, atol=0.05)
+    if sub_mean:
+        np.testing.assert_allclose(xg.mean(axis=axes), 0.0, atol=0.05)
+
+
+@pytest.mark.parametrize("ndim", [2, 3])
+def test_down_up_samplers(ndim):
+    sp = (8,) * ndim
+    x = jax.random.normal(KEY, (2,) + sp + (4,))
+    down = layers.DownSampler(features=8)
+    out, _ = init_and_apply(down, x)
+    assert out.shape == (2,) + tuple(s // 2 for s in sp) + (8,)
+    up = layers.UpSampler(features=2)
+    out2, _ = init_and_apply(up, out)
+    assert out2.shape == (2,) + sp + (2,)
+
+
+def test_circular_conv_is_periodic():
+    """A circular conv of a circularly-shifted input equals the circularly
+    shifted output (translation equivariance on the torus)."""
+    x = jax.random.normal(KEY, (1, 8, 8, 3))
+    mod = layers.CircularConv(features=4, kernel_size=3)
+    variables = mod.init(KEY, x)
+    out = mod.apply(variables, x)
+    assert out.shape == (1, 8, 8, 4)
+    x_shift = jnp.roll(x, 3, axis=1)
+    out_shift = mod.apply(variables, x_shift)
+    np.testing.assert_allclose(out_shift, jnp.roll(out, 3, axis=1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_resnet_block_c_shapes():
+    x = jax.random.normal(KEY, (2, 8, 8, 16))
+    te = jax.random.normal(KEY, (2, 16))
+    mod = layers.ResnetBlockC(channels=16, time_embed_dim=16)
+    out, _ = init_and_apply(mod, x, te)
+    assert out.shape == x.shape
+    # channel-changing variant (no residual)
+    mod2 = layers.ResnetBlockC(channels=16, time_embed_dim=16,
+                               output_channels=32)
+    out2, _ = init_and_apply(mod2, x, te)
+    assert out2.shape == (2, 8, 8, 32)
+    # no-time variant
+    mod3 = layers.ResnetBlockC(channels=16, time_embed_dim=None)
+    out3, _ = init_and_apply(mod3, x)
+    assert out3.shape == x.shape
+
+
+def test_resnet_block_3d_and_mp():
+    x = jax.random.normal(KEY, (2, 4, 4, 4, 8))
+    te = jax.random.normal(KEY, (2, 8))
+    mod = layers.ResnetBlockC(channels=8, time_embed_dim=8,
+                              convolution_type="mp")
+    out, variables = init_and_apply(mod, x, te)
+    assert out.shape == x.shape
+    # mp params present
+    flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+    assert any("w_mp" in jax.tree_util.keystr(p) for p, _ in flat)
+
+
+def test_condition_drop():
+    mod = layers.ConditionDrop(rate=1.0, hidden_dim=8)
+    x = jnp.ones((4, 8))
+    variables = mod.init({"params": KEY, "dropout": KEY}, x, train=True)
+    out = mod.apply(variables, x, train=True,
+                    rngs={"dropout": jax.random.PRNGKey(1)})
+    null = variables["params"]["null_embedding"]
+    np.testing.assert_allclose(out, jnp.broadcast_to(null, out.shape))
+    out_eval = mod.apply(variables, x, train=False)
+    np.testing.assert_allclose(out_eval, x)
+
+
+# ---------------------------------------------------------------------------
+# attention
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("ndim", [2, 3])
+@pytest.mark.parametrize("attn_type", ["default", "cosine"])
+def test_spatial_attention_shapes(ndim, attn_type):
+    sp = (4,) * ndim
+    x = jax.random.normal(KEY, (2,) + sp + (16,))
+    mod = nets.SpatialSelfAttention(num_heads=4, attn_type=attn_type)
+    out, _ = init_and_apply(mod, x)
+    assert out.shape == x.shape
+
+
+def test_attention_mp_variant():
+    x = jax.random.normal(KEY, (2, 4, 4, 16))
+    mod = nets.SpatialSelfAttention(num_heads=2, attn_type="cosine",
+                                    magnitude_preserving=True)
+    out, _ = init_and_apply(mod, x)
+    assert out.shape == x.shape
+    assert jnp.all(jnp.isfinite(out))
+
+
+def test_attention_softmax_rows():
+    """dot_product_attention output is a convex combination of values."""
+    q = jax.random.normal(KEY, (1, 2, 5, 8))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 5, 8))
+    v = jnp.ones((1, 2, 5, 8))
+    out = nets.dot_product_attention(q, k, v)
+    np.testing.assert_allclose(out, 1.0, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# MLPs
+# ---------------------------------------------------------------------------
+def test_mlp_uncond():
+    mod = nets.MLPUncond(dim=3, hidden_dims=[20, 20])
+    x = jax.random.normal(KEY, (8, 3))
+    t = jnp.ones((8,))
+    out, _ = init_and_apply(mod, x, t)
+    assert out.shape == (8, 3)
+
+
+def test_mlp_cond():
+    mod = nets.MLPCond(dim=3, ydim=2, hidden_dims=[20])
+    x = jax.random.normal(KEY, (8, 3))
+    t = jnp.ones((8,))
+    y = jnp.ones((8, 2))
+    out, _ = init_and_apply(mod, x, t, y)
+    assert out.shape == (8, 3)
+
+
+# ---------------------------------------------------------------------------
+# PUNetG (mirrors reference tests/test_punetg.py:1-32)
+# ---------------------------------------------------------------------------
+def test_punetg_2d_shapes():
+    config = nets.PUNetGConfig(model_channels=8, channel_expansion=[2],
+                               number_resnet_downward_block=1,
+                               number_resnet_upward_block=1,
+                               number_resnet_attn_block=2,
+                               number_resnet_before_attn_block=1,
+                               number_resnet_after_attn_block=1)
+    model = nets.PUNetG(config)
+    x = jax.random.normal(KEY, (2, 16, 16, 1))
+    t = jnp.ones((2,))
+    out, variables = init_and_apply(model, x, t)
+    assert out.shape == (2, 16, 16, 1)
+
+
+def test_punetg_3d_shapes():
+    config = nets.PUNetGConfig(model_channels=4, channel_expansion=[2],
+                               dimension=3,
+                               number_resnet_downward_block=1,
+                               number_resnet_upward_block=1,
+                               number_resnet_attn_block=1,
+                               number_resnet_before_attn_block=1,
+                               number_resnet_after_attn_block=1)
+    model = nets.PUNetG(config)
+    x = jax.random.normal(KEY, (1, 8, 8, 8, 1))
+    t = jnp.ones((1,))
+    out, _ = init_and_apply(model, x, t)
+    assert out.shape == (1, 8, 8, 8, 1)
+
+
+def test_punetg_conditional_embedding():
+    import flax.linen as nn
+
+    class ClassEmbedding(nn.Module):
+        num_classes: int = 10
+        dim: int = 8
+
+        @nn.compact
+        def __call__(self, y):
+            return nn.Embed(self.num_classes, self.dim)(y["y"])
+
+    config = nets.PUNetGConfig(model_channels=8, channel_expansion=[2],
+                               number_resnet_downward_block=1,
+                               number_resnet_upward_block=1,
+                               number_resnet_attn_block=1,
+                               number_resnet_before_attn_block=1,
+                               number_resnet_after_attn_block=1,
+                               cond_drop=0.1)
+    model = nets.PUNetG(config, conditional_embedding=ClassEmbedding())
+    x = jax.random.normal(KEY, (2, 16, 16, 1))
+    t = jnp.ones((2,))
+    y = {"y": jnp.array([1, 2])}
+    out, _ = init_and_apply(model, x, t, y, train=True)
+    assert out.shape == (2, 16, 16, 1)
+
+
+def test_punetg_cond_channel_concat():
+    config = nets.PUNetGConfig(model_channels=8, channel_expansion=[2],
+                               input_channels=2,
+                               number_resnet_downward_block=1,
+                               number_resnet_upward_block=1,
+                               number_resnet_attn_block=1,
+                               number_resnet_before_attn_block=1,
+                               number_resnet_after_attn_block=1)
+    model = nets.PUNetGCond(config, channel_conditional_items=["lowres"])
+    x = jax.random.normal(KEY, (2, 16, 16, 1))
+    t = jnp.ones((2,))
+    y = {"lowres": jax.random.normal(KEY, (2, 16, 16, 1))}
+    out, _ = init_and_apply(model, x, t, y)
+    assert out.shape == (2, 16, 16, 1)
+
+
+def test_punetg_bias_free_and_circular():
+    config = nets.PUNetGConfig(model_channels=8, channel_expansion=[2],
+                               bias=False, convolution_type="circular",
+                               number_resnet_downward_block=1,
+                               number_resnet_upward_block=1,
+                               number_resnet_attn_block=1,
+                               number_resnet_before_attn_block=1,
+                               number_resnet_after_attn_block=1)
+    model = nets.PUNetG(config)
+    x = jax.random.normal(KEY, (1, 16, 16, 1))
+    t = jnp.ones((1,))
+    out, _ = init_and_apply(model, x, t)
+    assert out.shape == (1, 16, 16, 1)
+
+
+def test_punetg_config_roundtrip(tmp_path):
+    config = nets.PUNetGConfig(model_channels=32, channel_expansion=[2, 4])
+    desc = config.export_description()
+    config2 = nets.PUNetGConfig.from_description(desc)
+    assert config2 == config

@@ -1,0 +1,85 @@
+"""Multi-device data-parallel tests on the 8-device virtual CPU mesh —
+coverage the reference lacks entirely (SURVEY.md §4: no multi-node tests)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diffsci_tpu import data
+from diffsci_tpu.parallel import (make_mesh, shard_batch, replicate,
+                                  pad_to_multiple)
+from diffsci_tpu.models import (KarrasModel, KarrasModelConfig, MLPUncond,
+                                create_train_state, make_train_step)
+
+
+def test_mesh_has_8_devices():
+    assert jax.device_count() == 8
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_shard_batch_places_on_data_axis():
+    mesh = make_mesh()
+    x = jnp.zeros((16, 4))
+    xs = shard_batch(x, mesh)
+    assert xs.sharding.spec == jax.sharding.PartitionSpec("data", None)
+
+
+def test_data_parallel_train_step_matches_single_device():
+    """The same train step on sharded vs unsharded inputs must give the
+    same loss and parameters (DP is semantics-preserving)."""
+    config = KarrasModelConfig.from_edm(loss_metric="mse")
+    model = KarrasModel(MLPUncond(dim=2, hidden_dims=[16]), config)
+    # two independent states (same key -> identical init); the jitted train
+    # step donates its input state, so each run needs its own buffers
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), (8, 2))
+    state2, _ = create_train_state(model, jax.random.PRNGKey(0), (8, 2))
+    step_fn = make_train_step(model, tx)
+
+    ds = data.ZeroDataset(num_samples=64, shape=[2])
+    xs = ds.sample(jax.random.PRNGKey(1))[:32]
+    key = jax.random.PRNGKey(2)
+
+    mesh = make_mesh()
+    state_b = replicate(state2, mesh)
+    xs_sharded = shard_batch(xs, mesh)
+
+    # single-device reference
+    state_a, metrics_a = step_fn(state, key, xs)
+    state_b, metrics_b = step_fn(state_b, key, xs_sharded)
+
+    np.testing.assert_allclose(metrics_a["train_loss"],
+                               metrics_b["train_loss"], rtol=1e-5)
+    pa = jax.tree.leaves(state_a.params)
+    pb = jax.tree.leaves(state_b.params)
+    for a, b in zip(pa, pb):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_multi_step_data_parallel_training_converges():
+    config = KarrasModelConfig.from_edm(loss_metric="mse")
+    model = KarrasModel(MLPUncond(dim=2, hidden_dims=[32]), config)
+    mesh = make_mesh()
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), (8, 2))
+    state = replicate(state, mesh)
+    step_fn = make_train_step(model, tx)
+
+    ds = data.ZeroDataset(num_samples=512, shape=[2])
+    xs = ds.sample(jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(3)
+    losses = []
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        batch = shard_batch(xs[(i * 32) % 512:(i * 32) % 512 + 32], mesh)
+        state, m = step_fn(state, sub, batch)
+        losses.append(float(m["train_loss"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_pad_to_multiple():
+    x = jnp.ones((10, 3))
+    padded, n = pad_to_multiple(x, 8)
+    assert padded.shape == (16, 3)
+    assert n == 10
+    padded2, n2 = pad_to_multiple(jnp.ones((16, 3)), 8)
+    assert padded2.shape == (16, 3)

@@ -1,0 +1,90 @@
+"""Trainer loop, data loading, and checkpoint round-trip tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diffsci_tpu import data
+from diffsci_tpu.data.loading import ArrayDataLoader, train_val_split
+from diffsci_tpu.models import (KarrasModel, KarrasModelConfig, MLPUncond,
+                                EMATracker, create_train_state,
+                                make_train_step)
+from diffsci_tpu.trainer import Trainer, fit_karras
+from diffsci_tpu.checkpoint import (save_checkpoint, restore_checkpoint,
+                                    ModelRegistry)
+
+
+def test_array_dataloader():
+    ds = {"x": np.arange(20).reshape(10, 2)}
+    loader = ArrayDataLoader(ds, batch_size=3, shuffle=True, seed=0)
+    batches = list(loader)
+    assert len(batches) == 3  # drop_last
+    assert batches[0]["x"].shape == (3, 2)
+    # reshuffles per epoch
+    b1 = [b["x"][0, 0] for b in loader]
+    b2 = [b["x"][0, 0] for b in loader]
+    assert b1 != b2 or True  # may rarely coincide; just exercise the path
+
+
+def test_train_val_split():
+    ds = np.arange(100).reshape(50, 2)
+    train, val = train_val_split(ds, val_fraction=0.2, seed=0)
+    assert train.shape == (40, 2)
+    assert val.shape == (10, 2)
+    combined = np.sort(np.concatenate([train[:, 0], val[:, 0]]))
+    np.testing.assert_array_equal(combined, np.arange(0, 100, 2))
+
+
+def test_fit_karras_end_to_end(tmp_path):
+    dataset = data.ZeroDataset(num_samples=256, shape=[2])
+    xs = np.asarray(dataset.sample(jax.random.PRNGKey(0)))
+    config = KarrasModelConfig.from_edm(loss_metric="mse")
+    model = KarrasModel(MLPUncond(dim=2, hidden_dims=[16]), config)
+    state, trainer = fit_karras(
+        model, xs, batch_size=32, max_epochs=2, val_fraction=0.25,
+        ema=EMATracker(ema_type="traditional", decay=0.9),
+        log_dir=tmp_path, seed=0)
+    assert int(state.step) == 2 * 6  # 192 train / 32
+    assert trainer.logger.last("train_loss") is not None
+    assert trainer.logger.last("valid_loss") is not None
+    assert (tmp_path / "metrics.jsonl").exists()
+    assert int(state.ema.num_updates) == int(state.step)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    config = KarrasModelConfig.from_edm(loss_metric="mse")
+    model = KarrasModel(MLPUncond(dim=2, hidden_dims=[8]), config)
+    tracker = EMATracker(ema_type="power", power_function_stds=[0.05])
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), (4, 2),
+                                   ema=tracker)
+    step_fn = make_train_step(model, tx, ema=tracker)
+    ds = data.ZeroDataset(num_samples=32, shape=[2])
+    xs = ds.sample(jax.random.PRNGKey(1))
+    state, _ = step_fn(state, jax.random.PRNGKey(2), xs[:8])
+
+    save_checkpoint(tmp_path / "ckpt", state,
+                    description=model.export_description())
+    template, _ = create_train_state(model, jax.random.PRNGKey(0), (4, 2),
+                                     ema=tracker)
+    restored = restore_checkpoint(tmp_path / "ckpt", template)
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_allclose(a, b)
+    for a, b in zip(jax.tree.leaves(state.ema),
+                    jax.tree.leaves(restored.ema)):
+        np.testing.assert_allclose(a, b)
+
+
+def test_model_registry(tmp_path):
+    reg = ModelRegistry(tmp_path / "models.json")
+    assert reg.list_models() == []
+    reg.register("mnist-edm", "/ckpts/mnist", {"tag": "edm"})
+    assert reg.list_models() == ["mnist-edm"]
+    e = reg.entry("mnist-edm")
+    assert e["description"]["tag"] == "edm"
+    try:
+        reg.entry("nope")
+        assert False
+    except KeyError:
+        pass
