@@ -12,6 +12,19 @@ from diffsci_tpu.models.karras.ema import (
     power_function_beta,
     power_function_exp_from_std,
 )
+from diffsci_tpu.models.karras.ensemble import (
+    EnsembleKarrasModel,
+    EnsembleKarrasModelConfig,
+    make_ensemble_train_step,
+    scheduled_replay_weight,
+    l2_sp_regularization,
+    select_regularization_reference,
+)
+from diffsci_tpu.models.karras.autoregressive import (
+    autoregressive_sample,
+    frames_to_window,
+    window_to_frames,
+)
 from diffsci_tpu.models.karras.train import (
     TrainState,
     create_train_state,
@@ -27,6 +40,10 @@ from diffsci_tpu.models.karras.train import (
 
 __all__ = [
     "KarrasModel", "KarrasModelConfig", "KarrasNet", "DynamicLossWeight",
+    "EnsembleKarrasModel", "EnsembleKarrasModelConfig",
+    "make_ensemble_train_step", "scheduled_replay_weight",
+    "l2_sp_regularization", "select_regularization_reference",
+    "autoregressive_sample", "frames_to_window", "window_to_frames",
     "EMATracker", "EMAState", "power_function_beta",
     "power_function_exp_from_std",
     "TrainState", "create_train_state", "make_train_step", "make_eval_step",

@@ -10,6 +10,8 @@ from diffsci_tpu.models.nets.attention import (
 )
 from diffsci_tpu.models.nets.mlp import MLPUncond, MLPCond
 from diffsci_tpu.models.nets.punetg import PUNetG, PUNetGCond, PUNetGConfig
+from diffsci_tpu.models.nets.adm import ADM, ADMConfig
+from diffsci_tpu.models.nets.dit import DiffusionTransformer
 
 __all__ = [
     "layers", "normed",
@@ -17,4 +19,5 @@ __all__ = [
     "dot_product_attention", "cosine_attention",
     "MLPUncond", "MLPCond",
     "PUNetG", "PUNetGCond", "PUNetGConfig",
+    "ADM", "ADMConfig", "DiffusionTransformer",
 ]

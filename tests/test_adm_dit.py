@@ -1,0 +1,108 @@
+"""ADM and DiT shape/behaviour tests (mirrors reference tests/test_adm.py)."""
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import pytest
+
+from diffsci_tpu.models.nets import ADM, ADMConfig, DiffusionTransformer
+
+KEY = jax.random.PRNGKey(0)
+
+
+def run(module, *args, **kwargs):
+    variables = module.init({"params": KEY, "dropout": KEY}, *args, **kwargs)
+    return module.apply(variables, *args, **kwargs,
+                        rngs={"dropout": jax.random.PRNGKey(1)})
+
+
+def small_config(**kw):
+    defaults = dict(model_channels=8, time_embed_dim=8, output_embed_dim=16,
+                    channel_expansion=[2], number_resnet_downward_block=1,
+                    number_resnet_upward_block=1, number_resnet_attn_block=2,
+                    number_resnet_before_attn_block=1,
+                    number_resnet_after_attn_block=1)
+    defaults.update(kw)
+    return ADMConfig(**defaults)
+
+
+@pytest.mark.parametrize("skip_type", ["concat", "add"])
+@pytest.mark.parametrize("decoder_type", [1, 2])
+def test_adm_2d_shapes(skip_type, decoder_type):
+    config = small_config(skip_integration_type=skip_type,
+                          decoder_type=decoder_type)
+    model = ADM(config)
+    x = jax.random.normal(KEY, (2, 16, 16, 1))
+    t = jnp.ones((2,))
+    out = run(model, x, t)
+    assert out.shape == (2, 16, 16, 1)
+
+
+def test_adm_3d_shapes():
+    config = small_config(dimension=3)
+    model = ADM(config)
+    x = jax.random.normal(KEY, (1, 8, 8, 8, 1))
+    out = run(model, x, jnp.ones((1,)))
+    assert out.shape == (1, 8, 8, 8, 1)
+
+
+def test_adm_conditional():
+    class Emb(nn.Module):
+        @nn.compact
+        def __call__(self, y):
+            return nn.Embed(10, 16)(y["y"] if isinstance(y, dict) else y)
+
+    config = small_config(cond_dropout=0.1)
+    model = ADM(config, conditional_embedding=Emb())
+    x = jax.random.normal(KEY, (2, 16, 16, 1))
+    t = jnp.ones((2,))
+    y = {"y": jnp.array([3, 7])}
+    variables = model.init({"params": KEY, "dropout": KEY}, x, t, y)
+    out_cond = model.apply(variables, x, t, y)
+    out_uncond = model.apply(variables, x, t, None)  # zero-embedding path
+    assert out_cond.shape == out_uncond.shape == (2, 16, 16, 1)
+    assert not jnp.allclose(out_cond, out_uncond)
+
+
+def test_adm_middle_attn_config():
+    config = small_config(number_resnet_before_attn_block=2,
+                          number_resnet_attn_block=3,
+                          number_resnet_after_attn_block=1)
+    assert config.middle_block_attn_config == [
+        False, False, True, True, False, False]
+    assert config.num_blocks_middle_block == 6
+
+
+def test_adm_config_roundtrip():
+    config = small_config()
+    desc = config.export_description()
+    assert ADMConfig.from_description(desc) == config
+
+
+def test_dit_shapes_and_patch_roundtrip():
+    from diffsci_tpu.models.nets.dit import patchify, unpatchify
+    x = jax.random.normal(KEY, (2, 16, 16, 3))
+    tokens = patchify(x, 4)
+    assert tokens.shape == (2, 16, 48)
+    x2 = unpatchify(tokens, 4, 16, 16, 3)
+    assert jnp.allclose(x, x2)
+
+    model = DiffusionTransformer(nembed=32, nheads=4, nblocks=2,
+                                 patch_size=4, nchannels=1)
+    x = jax.random.normal(KEY, (2, 16, 16, 1))
+    out = run(model, x, jnp.ones((2,)))
+    assert out.shape == (2, 16, 16, 1)
+
+
+def test_dit_positions_break_translation_symmetry():
+    """With positions applied, permuting patches changes outputs
+    non-uniformly (the reference forgot to add positions)."""
+    model = DiffusionTransformer(nembed=32, nheads=2, nblocks=1,
+                                 patch_size=4)
+    x = jax.random.normal(KEY, (1, 16, 16, 1))
+    variables = model.init({"params": KEY}, x, jnp.ones((1,)))
+    out1 = model.apply(variables, x, jnp.ones((1,)))
+    x_rolled = jnp.roll(x, 4, axis=1)  # shift by one patch
+    out2 = model.apply(variables, x_rolled, jnp.ones((1,)))
+    # if positions were missing, out2 would be exactly roll(out1)
+    assert not jnp.allclose(out2, jnp.roll(out1, 4, axis=1), atol=1e-5)
