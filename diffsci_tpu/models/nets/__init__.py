@@ -12,6 +12,13 @@ from diffsci_tpu.models.nets.mlp import MLPUncond, MLPCond
 from diffsci_tpu.models.nets.punetg import PUNetG, PUNetGCond, PUNetGConfig
 from diffsci_tpu.models.nets.adm import ADM, ADMConfig
 from diffsci_tpu.models.nets.dit import DiffusionTransformer
+from diffsci_tpu.models.nets.vae import (
+    AutoencoderKL,
+    VAEEncoder,
+    VAEDecoder,
+    DDConfig,
+    DiagonalGaussianDistribution,
+)
 
 __all__ = [
     "layers", "normed",
@@ -20,4 +27,6 @@ __all__ = [
     "MLPUncond", "MLPCond",
     "PUNetG", "PUNetGCond", "PUNetGConfig",
     "ADM", "ADMConfig", "DiffusionTransformer",
+    "AutoencoderKL", "VAEEncoder", "VAEDecoder", "DDConfig",
+    "DiagonalGaussianDistribution",
 ]
