@@ -6,6 +6,9 @@ from diffsci_tpu.models import karras
 from diffsci_tpu.models import vae
 from diffsci_tpu.models import ddpm
 from diffsci_tpu.models import si
+from diffsci_tpu.models import sde
+from diffsci_tpu.models import regression
+from diffsci_tpu.models.regression import ForecastModel, ForecastModelConfig
 from diffsci_tpu.models.karras import (
     KarrasModel, KarrasModelConfig, EMATracker, TrainState,
     create_train_state, make_train_step, make_eval_step,

@@ -25,6 +25,8 @@ from diffsci_tpu.models.karras.autoregressive import (
     frames_to_window,
     window_to_frames,
 )
+from diffsci_tpu.models.karras.edm_minimal import EDMModel, EDMModelConfig
+from diffsci_tpu.models.karras.encoder import KarrasEncoderModel
 from diffsci_tpu.models.karras.train import (
     TrainState,
     create_train_state,
@@ -44,6 +46,7 @@ __all__ = [
     "make_ensemble_train_step", "scheduled_replay_weight",
     "l2_sp_regularization", "select_regularization_reference",
     "autoregressive_sample", "frames_to_window", "window_to_frames",
+    "EDMModel", "EDMModelConfig", "KarrasEncoderModel",
     "EMATracker", "EMAState", "power_function_beta",
     "power_function_exp_from_std",
     "TrainState", "create_train_state", "make_train_step", "make_eval_step",

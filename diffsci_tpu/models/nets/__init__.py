@@ -19,6 +19,29 @@ from diffsci_tpu.models.nets.vae import (
     DDConfig,
     DiagonalGaussianDistribution,
 )
+from diffsci_tpu.models.nets.vaenet import (
+    VAENet,
+    VAENetConfig,
+    MinimalResnetBlock,
+    patched_conv,
+    divide_dims,
+)
+from diffsci_tpu.models.nets.convit import ConVit, ConVitConfig
+from diffsci_tpu.models.nets.punetg_variants import (
+    PUNetGEncoder,
+    PUNetGDecoder,
+    PUNetGDeterministic,
+    EncoderFlattener,
+    PUNetV,
+    PUNetVConfig,
+    ResnetSliceBlock,
+)
+from diffsci_tpu.models.nets.classifiers import (
+    MinimalResNet,
+    ClassifierResBlock,
+)
+from diffsci_tpu.models.nets.dasc import DASC, dasc_loss
+from diffsci_tpu.models.nets import embedders
 
 __all__ = [
     "layers", "normed",
@@ -29,4 +52,11 @@ __all__ = [
     "ADM", "ADMConfig", "DiffusionTransformer",
     "AutoencoderKL", "VAEEncoder", "VAEDecoder", "DDConfig",
     "DiagonalGaussianDistribution",
+    "VAENet", "VAENetConfig", "MinimalResnetBlock", "patched_conv",
+    "divide_dims",
+    "ConVit", "ConVitConfig",
+    "PUNetGEncoder", "PUNetGDecoder", "PUNetGDeterministic",
+    "EncoderFlattener", "PUNetV", "PUNetVConfig", "ResnetSliceBlock",
+    "MinimalResNet", "ClassifierResBlock", "DASC", "dasc_loss",
+    "embedders",
 ]

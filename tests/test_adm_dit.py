@@ -106,3 +106,22 @@ def test_dit_positions_break_translation_symmetry():
     out2 = model.apply(variables, x_rolled, jnp.ones((1,)))
     # if positions were missing, out2 would be exactly roll(out1)
     assert not jnp.allclose(out2, jnp.roll(out1, 4, axis=1), atol=1e-5)
+
+
+def test_adm_magnitude_preserving():
+    """ADM-MP coverage (reference admmp.py:8-1114 is the mp
+    re-implementation; here it is the convolution_type='mp' configuration
+    of the same ADM)."""
+    config = small_config(convolution_type="mp")
+    model = ADM(config)
+    x = jax.random.normal(KEY, (2, 16, 16, 1))
+    out = run(model, x, jnp.ones((2,)))
+    assert out.shape == (2, 16, 16, 1)
+    assert jnp.all(jnp.isfinite(out))
+    # mp params present for the optimizer re-projection transform
+    variables = model.init({"params": KEY, "dropout": KEY}, x,
+                           jnp.ones((2,)))
+    import jax.tree_util as jtu
+    paths = [jtu.keystr(p) for p, _ in
+             jtu.tree_leaves_with_path(variables["params"])]
+    assert any("w_mp" in p for p in paths)
