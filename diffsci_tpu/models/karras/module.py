@@ -220,9 +220,15 @@ class KarrasModel:
                  autoencoder_conditional: bool = False,
                  encode_y: bool = False,
                  decode_original_y: bool = False,
-                 norm: float = 1.0):
+                 norm: float = 1.0,
+                 compute_dtype=None):
+        """``compute_dtype``: mixed precision for the network forward —
+        parameters and activations are cast to this dtype (bfloat16 on TPU)
+        inside get_denoiser while master params, the preconditioning math,
+        and the loss stay float32."""
         self.model = model
         self.config = config
+        self.compute_dtype = compute_dtype
         self.conditional = conditional
         self.masked = masked
         self.autoencoder = autoencoder  # bound AE: .encode(x, key, y)/.decode
@@ -339,9 +345,27 @@ class KarrasModel:
         cnoise = pre.noise_conditioner(sigma)
         scaled = c_in * x
 
+        cd = self.compute_dtype
+        if cd is not None:
+            # mixed precision: bf16 network forward, f32 everything else.
+            # The param cast is loop-invariant, so XLA hoists it out of
+            # sampling scans; autodiff through the cast yields f32 grads.
+            def cast(p):
+                return (p.astype(cd)
+                        if jnp.issubdtype(p.dtype, jnp.floating) else p)
+            variables = jax.tree.map(cast, variables)
+            scaled = scaled.astype(cd)
+            cnoise_in = cnoise.astype(cd)
+            y = dict_map(
+                lambda v: v.astype(cd)
+                if jnp.issubdtype(v.dtype, jnp.floating) else v, y)
+        else:
+            cnoise_in = cnoise
+
         def net_fwd(yy):
-            return self.net.apply(variables, scaled, cnoise, yy,
-                                  train=train, rngs=rngs)
+            out = self.net.apply(variables, scaled, cnoise_in, yy,
+                                 train=train, rngs=rngs)
+            return out.astype(jnp.float32) if cd is not None else out
 
         if self.conditional and guidance != 0.0:
             base = net_fwd(y)

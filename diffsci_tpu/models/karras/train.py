@@ -191,3 +191,35 @@ def make_eval_step(model, ema: EMATracker | None = None,
         return {"valid_loss": loss}
 
     return jax.jit(eval_step)
+
+
+def schedule_free_optimizer(learning_rate: float = 1e-3,
+                            b1: float = 0.9,
+                            weight_decay: float = 1e-4,
+                            grad_clip: float | None = 0.5):
+    """Schedule-free AdamW (the optimizer behind the reference's
+    ScheduleFreeCallback, aux_scripts/callbacks.py:21-35, which switched
+    the torch optimizer between train/eval modes). In optax the switch is
+    functional: train on the returned optimizer, evaluate with
+    ``schedule_free_eval_params(state, params)``."""
+    import optax.contrib as oc
+    tx = oc.schedule_free_adamw(learning_rate, b1=b1,
+                                weight_decay=weight_decay)
+    if grad_clip is not None:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    return tx
+
+
+def schedule_free_eval_params(state: TrainState):
+    """Evaluation-mode parameters for a schedule-free-trained state (the
+    ScheduleFreeCallback eval switch)."""
+    import optax.contrib as oc
+    opt_state = state.opt_state
+    # unwrap chain wrappers to find the ScheduleFreeState
+    leaves = [s for s in jax.tree.leaves(
+        opt_state, is_leaf=lambda x: isinstance(x, oc.ScheduleFreeState))
+        if isinstance(x := s, oc.ScheduleFreeState)]
+    if not leaves:
+        raise ValueError("optimizer state contains no ScheduleFreeState; "
+                         "train with schedule_free_optimizer()")
+    return oc.schedule_free_eval_params(leaves[0], state.params)

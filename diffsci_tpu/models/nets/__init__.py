@@ -41,6 +41,10 @@ from diffsci_tpu.models.nets.classifiers import (
     ClassifierResBlock,
 )
 from diffsci_tpu.models.nets.dasc import DASC, dasc_loss
+from diffsci_tpu.models.nets.autoencoders import (
+    ChannelAdapterWrapper,
+    load_autoencoder,
+)
 from diffsci_tpu.models.nets import embedders
 
 __all__ = [
@@ -58,5 +62,6 @@ __all__ = [
     "PUNetGEncoder", "PUNetGDecoder", "PUNetGDeterministic",
     "EncoderFlattener", "PUNetV", "PUNetVConfig", "ResnetSliceBlock",
     "MinimalResNet", "ClassifierResBlock", "DASC", "dasc_loss",
+    "ChannelAdapterWrapper", "load_autoencoder",
     "embedders",
 ]

@@ -12,7 +12,15 @@ from diffsci_tpu.parallel.mesh import (
     TENSOR_AXIS,
 )
 
+from diffsci_tpu.parallel.tensor_parallel import (
+    tensor_parallel_specs,
+    shard_params_tensor_parallel,
+    shard_state_tensor_parallel,
+)
+
 __all__ = [
     "make_mesh", "shard_batch", "replicate", "batch_sharding", "replicated",
     "pad_to_multiple", "DATA_AXIS", "SPATIAL_AXIS", "TENSOR_AXIS",
+    "tensor_parallel_specs", "shard_params_tensor_parallel",
+    "shard_state_tensor_parallel",
 ]

@@ -88,3 +88,30 @@ def test_model_registry(tmp_path):
         assert False
     except KeyError:
         pass
+
+
+def test_schedule_free_optimizer():
+    """ScheduleFreeCallback analogue: train with the schedule-free
+    optimizer, evaluate with the averaged eval params."""
+    from diffsci_tpu.models import (KarrasModel, KarrasModelConfig,
+                                    MLPUncond, create_train_state,
+                                    make_train_step)
+    from diffsci_tpu.models.karras.train import (schedule_free_optimizer,
+                                                 schedule_free_eval_params)
+    from diffsci_tpu import data as dsdata
+    config = KarrasModelConfig.from_edm(loss_metric="mse")
+    model = KarrasModel(MLPUncond(dim=2, hidden_dims=[16]), config)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), (8, 2),
+                                   optimizer=schedule_free_optimizer(1e-2))
+    step_fn = make_train_step(model, tx)
+    ds = dsdata.ZeroDataset(num_samples=128, shape=[2])
+    xs = ds.sample(jax.random.PRNGKey(1))
+    for i in range(10):
+        state, m = step_fn(state, jax.random.PRNGKey(i), xs[:32])
+    eval_params = schedule_free_eval_params(state)
+    assert jax.tree.structure(eval_params) == jax.tree.structure(
+        state.params)
+    # eval params differ from the raw iterate (they're the x-sequence)
+    diffs = [float(np.abs(a - b).max()) for a, b in
+             zip(jax.tree.leaves(eval_params), jax.tree.leaves(state.params))]
+    assert max(diffs) > 0

@@ -186,3 +186,40 @@ def test_latent_diffusion_wiring():
     out = model.sample(variables, jax.random.PRNGKey(4), 2, (8, 8, 2),
                        nsteps=4, is_latent_shape=True)
     assert out.shape == (2, 16, 16, 1)
+
+
+def test_channel_adapter_wrapper():
+    """Channel expand/squeeze adapter around a 3-channel VAE
+    (reference autoencoders.py:7-72)."""
+    from diffsci_tpu.models.nets.autoencoders import (ChannelAdapterWrapper,
+                                                      load_autoencoder)
+    from diffsci_tpu.models.vae import VAEModel, VAEModelConfig, \
+        BoundAutoencoder
+    dd = small_dd(in_channels=3, out_ch=3)
+    vae = VAEModel(AutoencoderKL(dd, embed_dim=2),
+                   VAEModelConfig(adversarial_weight=0.0,
+                                  reconstruction_loss="mse"))
+    vv = vae.init(KEY, (2, 16, 16, 3))
+    bound = BoundAutoencoder(vae, vv)
+    wrap = ChannelAdapterWrapper(bound, channels=1, latent_channels=2)
+    x = jax.random.normal(KEY, (2, 16, 16, 1))
+    z = wrap.encode(x, key=jax.random.PRNGKey(1))
+    assert z.shape == (2, 8, 8, 2)
+    rec = wrap.decode(z)
+    assert rec.shape == (2, 16, 16, 1)
+    # independent channels: 2 data channels -> concatenated latents
+    wrap2 = ChannelAdapterWrapper(bound, channels=1,
+                                  independent_channels=True,
+                                  data_channels=2, latent_channels=2)
+    x2 = jax.random.normal(KEY, (2, 16, 16, 2))
+    z2 = wrap2.encode(x2, key=jax.random.PRNGKey(1))
+    assert z2.shape == (2, 8, 8, 4)
+    assert wrap2.decode(z2).shape == (2, 16, 16, 2)
+    # factory
+    ae = load_autoencoder("our_kl", ddconfig=dd.export_description())
+    assert ae is not None
+    import pytest
+    with pytest.raises(NotImplementedError):
+        load_autoencoder("kl1")
+    with pytest.raises(ValueError):
+        load_autoencoder("bogus")
