@@ -45,6 +45,7 @@ from diffsci_tpu.models.nets.autoencoders import (
     ChannelAdapterWrapper,
     load_autoencoder,
 )
+from diffsci_tpu.models.nets.hfnet import HFNet, HFNetUncond, HFNetCond
 from diffsci_tpu.models.nets import embedders
 
 __all__ = [
@@ -63,5 +64,6 @@ __all__ = [
     "EncoderFlattener", "PUNetV", "PUNetVConfig", "ResnetSliceBlock",
     "MinimalResNet", "ClassifierResBlock", "DASC", "dasc_loss",
     "ChannelAdapterWrapper", "load_autoencoder",
+    "HFNet", "HFNetUncond", "HFNetCond",
     "embedders",
 ]

@@ -44,7 +44,9 @@ class VAEModelConfig:
                  discriminator_threshold: float = 0.85,
                  label_smoothing: float = 0.1,
                  total_variation_weight: float = 0.0,
-                 kl_threshold: float | None = None):
+                 kl_threshold: float | None = None,
+                 loss_preprocessor="none",
+                 loss_preprocessor_dim: int = 2):
         assert latent_matching_type in ("kl", "mse", "modhell",
                                         "wasserstein")
         assert teaching_mode in ("both", "encoder", "decoder")
@@ -64,6 +66,8 @@ class VAEModelConfig:
         self.label_smoothing = label_smoothing
         self.total_variation_weight = total_variation_weight
         self.kl_threshold = kl_threshold
+        self.loss_preprocessor = loss_preprocessor
+        self.loss_preprocessor_dim = loss_preprocessor_dim
 
     @property
     def has_distillation(self):
@@ -174,6 +178,10 @@ class VAEModel:
             discriminator is not None
         self.discriminator = discriminator
         self._recon = _recon_fn(config.reconstruction_loss)
+        # edge-feature loss preprocessing (vaemodule.py:209-217,260-261)
+        from diffsci_tpu.ops.preprocessors import make_loss_preprocessor
+        self._pre = make_loss_preprocessor(config.loss_preprocessor,
+                                           config.loss_preprocessor_dim)
 
     # ------------------------------------------------------------------
     def init(self, key, x_shape):
@@ -219,7 +227,7 @@ class VAEModel:
 
         logvar = self.net.apply(variables,
                                 method=_VAENetWithLogvar.get_logvar)
-        rec = self._recon(x, x_recon)
+        rec = self._recon(self._pre(x), self._pre(x_recon))
         nll = rec / jnp.exp(logvar) + logvar
         nsamples = x.shape[0]
         if cfg.reduce_mean:
@@ -284,7 +292,8 @@ class VAEModel:
             z = tz.mode()
             student = self.decode(variables, z, train=train, rngs=rngs)
             teacher_rec = jax.lax.stop_gradient(teacher.decode(z))
-            output_loss = reduce(self._recon(student, teacher_rec))
+            output_loss = reduce(self._recon(self._pre(student),
+                                             self._pre(teacher_rec)))
         elif cfg.teaching_mode == "encoder":
             if zdistrib is None:
                 zdistrib = self.encode(variables, x, key=key, train=train,
@@ -304,7 +313,8 @@ class VAEModel:
             tzs = tz.sample(key)
             teacher_rec = jax.lax.stop_gradient(teacher.decode(tzs))
             latent_loss = self._latent_matching(zdistrib, tz)
-            output_loss = reduce(self._recon(x_recon, teacher_rec))
+            output_loss = reduce(self._recon(self._pre(x_recon),
+                                             self._pre(teacher_rec)))
 
         loss = latent_loss + output_loss
         return loss, {"latent_space_matching_loss": latent_loss,

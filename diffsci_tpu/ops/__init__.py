@@ -38,6 +38,11 @@ from diffsci_tpu.ops.schedulers import (
     VPScheduler,
     VEScheduler,
 )
+from diffsci_tpu.ops.preprocessors import (
+    EdgeDetectionPreprocessor,
+    make_loss_preprocessor,
+    smoothstep_window,
+)
 
 __all__ = [
     "SchedulingFunctions", "EDMSchedulingFunctions", "VPSchedulingFunctions",
@@ -49,4 +54,6 @@ __all__ = [
     "Integrator", "EulerIntegrator", "HeunIntegrator",
     "EulerMaruyamaIntegrator", "KarrasIntegrator", "name_to_integrator",
     "Scheduler", "EDMScheduler", "VPScheduler", "VEScheduler",
+    "EdgeDetectionPreprocessor", "make_loss_preprocessor",
+    "smoothstep_window",
 ]

@@ -371,3 +371,80 @@ def test_fid_zero_for_identical_and_positive_for_shifted():
     assert kid(a, b) < kid(a, shifted)
     stats = sample_statistics(a)
     assert abs(stats["mean"]) < 0.1 and abs(stats["std"] - 1.0) < 0.1
+
+
+# ---------------------------------------------------------------------------
+# edge-detection loss preprocessor (reference preprocessors.py:28-352)
+# ---------------------------------------------------------------------------
+def test_edge_preprocessor_features():
+    from diffsci_tpu.ops import EdgeDetectionPreprocessor, smoothstep_window
+    # window: interior ones, smooth taper, endpoints zero
+    w = smoothstep_window(16, 4)
+    assert w[0] == 0.0 and w[8] == 1.0 and 0 < w[2] < 1
+    np.testing.assert_allclose(w, w[::-1])
+
+    pre = EdgeDetectionPreprocessor(dim=2, border_width=2)
+    x = jnp.zeros((1, 16, 16, 1)).at[:, :, 8:, :].set(1.0)  # vertical step
+    feats = jax.jit(pre)(x)
+    assert feats.shape == (1, 16, 16, 5)  # 5 processors, 1 channel each
+    orig, sobel, lap, grad, morph = [feats[0, :, :, i] for i in range(5)]
+    # constant image -> all edge responses vanish
+    flat = jax.jit(pre)(jnp.ones((1, 16, 16, 1)) * 0.3)
+    for i in range(1, 5):
+        # sobel/grad floor at sqrt(1e-8)=1e-4 (same epsilon as reference)
+        np.testing.assert_allclose(flat[0, 4:12, 4:12, i], 0.0, atol=1e-3)
+    # step edge: sobel/grad/morph peak at the boundary column
+    assert float(sobel[8, 8]) > float(sobel[8, 4])
+    assert float(morph[8, 8]) > 0.1
+    # gradients flow (differentiable)
+    g = jax.grad(lambda z: jnp.sum(pre(z) ** 2))(x)
+    assert jnp.all(jnp.isfinite(g))
+    # 3D path
+    pre3 = EdgeDetectionPreprocessor(dim=3, processors=["sobel"],
+                                     border_width=0)
+    f3 = pre3(jnp.zeros((1, 8, 8, 8, 2)))
+    assert f3.shape == (1, 8, 8, 8, 2)
+    with pytest.raises(ValueError):
+        EdgeDetectionPreprocessor(processors="canny")
+
+
+def test_vae_edge_loss_preprocessor():
+    """VAE training with loss_preprocessor='edges' (vaemodule.py:209-217)."""
+    from diffsci_tpu.models.nets.vae import AutoencoderKL, DDConfig
+    from diffsci_tpu.models.vae import (VAEModel, VAEModelConfig,
+                                        create_vae_train_state,
+                                        make_vae_train_step)
+    dd = DDConfig(z_channels=2, resolution=16, ch=8, ch_mult=[1, 2],
+                  num_res_blocks=1, has_mid_attn=False)
+    config = VAEModelConfig(kl_weight=1e-4, reconstruction_loss="mse",
+                            adversarial_weight=0.0,
+                            loss_preprocessor="edges")
+    model = VAEModel(AutoencoderKL(dd, embed_dim=2), config)
+    state, tx, _ = create_vae_train_state(model, KEY, (4, 16, 16, 1))
+    step_fn = make_vae_train_step(model, tx)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 1)) * 0.1
+    state, m = step_fn(state, jax.random.PRNGKey(2), x)
+    assert jnp.isfinite(m["train_loss"])
+
+
+# ---------------------------------------------------------------------------
+# HFNet family (reference hfnet.py:9-100)
+# ---------------------------------------------------------------------------
+def test_hfnet_family():
+    from diffsci_tpu.models.nets import HFNet, HFNetUncond, HFNetCond
+    x = jnp.zeros((2, 16, 16, 1))
+    t = jnp.ones((2,))
+    net = HFNetUncond(block_channels=(8, 16), channels=1, norm_num_groups=4)
+    v = net.init(KEY, x, t)
+    out = net.apply(v, x, t)
+    assert out.shape == x.shape
+    cond = HFNetCond(block_channels=(8, 16), channels=1, cond_channels=2,
+                     norm_num_groups=4, attn_up_and_down=True)
+    y = jnp.zeros((2, 16, 16, 2))
+    vc = cond.init(KEY, x, t, y)
+    outc = cond.apply(vc, x, t, y)
+    assert outc.shape == x.shape
+    with pytest.raises(ValueError):
+        cond.init(KEY, x, t, None)
+    with pytest.raises(ValueError):
+        HFNet(block_channels=(8, 12)).init(KEY, x, t)  # non-integral ratio

@@ -115,3 +115,22 @@ def test_schedule_free_optimizer():
     diffs = [float(np.abs(a - b).max()) for a, b in
              zip(jax.tree.leaves(eval_params), jax.tree.leaves(state.params))]
     assert max(diffs) > 0
+
+
+def test_remat_train_step_matches_plain():
+    """remat=True must be numerically identical to remat=False (it only
+    changes what the backward pass stores)."""
+    config = KarrasModelConfig.from_edm(loss_metric="mse")
+    model = KarrasModel(MLPUncond(dim=2, hidden_dims=[16]), config)
+    state0, tx = create_train_state(model, jax.random.PRNGKey(0), (8, 2))
+    xs = jax.random.normal(jax.random.PRNGKey(1), (8, 2))
+    plain = make_train_step(model, tx)
+    rematd = make_train_step(model, tx, remat=True)
+    import copy
+    sa, ma = plain(state0, jax.random.PRNGKey(2), xs)
+    state0b, _ = create_train_state(model, jax.random.PRNGKey(0), (8, 2))
+    sb, mb = rematd(state0b, jax.random.PRNGKey(2), xs)
+    np.testing.assert_allclose(float(ma["train_loss"]),
+                               float(mb["train_loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
