@@ -45,6 +45,51 @@ def load_description(path: str | pathlib.Path) -> dict[str, Any] | None:
     return json.loads(p.read_text()) if p.exists() else None
 
 
+def extract_submodule(params: Any, prefix: str) -> Any:
+    """Pull the sub-tree of ``params`` living under the scope path
+    ``prefix`` ('/'-separated module names) — the functional counterpart of
+    the reference's prefix-stripping submodule loader
+    (reference diffsci/torchutils.py:90-104), used to load e.g. just the
+    trained UNet out of a full-model checkpoint into a standalone module.
+
+    Example: ``extract_submodule(full_variables, "unet")`` returns the
+    variables a bare ``PUNetG`` expects after training a ``PUNetGCond``
+    wrapper. Accepts either a single collection tree (e.g.
+    ``variables["params"]``) or a full variables dict whose top-level keys
+    are collection names ('params', 'buffers', 'batch_stats', ...) — in the
+    latter case each collection containing the scope is extracted and
+    collections without it are dropped.
+    """
+    COLLECTIONS = ("params", "buffers", "batch_stats", "cache")
+
+    def walk(node):
+        for seg in prefix.split("/"):
+            if not isinstance(node, dict) or seg not in node:
+                raise KeyError(seg)
+            node = node[seg]
+        return node
+
+    if isinstance(params, dict) and any(k in COLLECTIONS for k in params):
+        out = {}
+        for col, tree in params.items():
+            try:
+                out[col] = walk(tree)
+            except KeyError:
+                continue
+        if not out:
+            raise KeyError(
+                f"submodule scope {prefix!r} not found in any collection "
+                f"of {list(params)}")
+        return out
+    try:
+        return walk(params)
+    except KeyError as e:
+        available = list(params.keys()) if isinstance(params, dict) else []
+        raise KeyError(
+            f"submodule scope {prefix!r} not found at segment {e.args[0]!r};"
+            f" available scopes: {available}") from None
+
+
 class CheckpointManager:
     """Top-k + save-last management (ModelCheckpoint analogue,
     reference scripts/training/train-diffusion-cifar10.py:78-85)."""

@@ -134,3 +134,34 @@ def test_remat_train_step_matches_plain():
                                float(mb["train_loss"]), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_extract_submodule():
+    """Prefix-stripping submodule extraction (torchutils.py:90-104)."""
+    from diffsci_tpu.checkpoint import extract_submodule
+    from diffsci_tpu.models import PUNetG, PUNetGCond, PUNetGConfig
+    import pytest
+    cfg = PUNetGConfig(model_channels=8, channel_expansion=[2],
+                       input_channels=2, output_channels=1,
+                       number_resnet_downward_block=1,
+                       number_resnet_upward_block=1,
+                       number_resnet_attn_block=1,
+                       number_resnet_before_attn_block=1,
+                       number_resnet_after_attn_block=1)
+    wrapper = PUNetGCond(cfg, channel_conditional_items=("img",))
+    x = jnp.zeros((1, 16, 16, 1))
+    v = wrapper.init(jax.random.PRNGKey(0), x, jnp.ones((1,)),
+                     {"img": jnp.zeros((1, 16, 16, 1))})
+    sub = extract_submodule(v, "unet")  # full variables dict
+    assert set(sub) >= {"params", "buffers"}
+    # the bare module accepts the extracted variables (input incl. concat)
+    bare = PUNetG(cfg)
+    out = bare.apply(sub, jnp.zeros((1, 16, 16, 2)), jnp.ones((1,)))
+    assert out.shape == (1, 16, 16, 1)
+    # single-collection form
+    sub_p = extract_submodule(v["params"], "unet")
+    assert jax.tree.structure(sub_p) == jax.tree.structure(sub["params"])
+    with pytest.raises(KeyError):
+        extract_submodule(v["params"], "nope/deeper")
+    with pytest.raises(KeyError):
+        extract_submodule(v, "nope")
