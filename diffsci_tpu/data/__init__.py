@@ -12,6 +12,7 @@ from diffsci_tpu.data.toy_datasets import (
     DiagonalGaussianDataset,
     Single1DUniformDataset,
     MixtureOf1DUniformsDataset,
+    ShapesDataset,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "ZeroDataset", "ZeroMeanGaussianDataset", "MixtureOfPointsDataset",
     "MixtureOfGaussiansDataset", "DiagonalGaussianDataset",
     "Single1DUniformDataset", "MixtureOf1DUniformsDataset",
+    "ShapesDataset",
 ]

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -352,3 +353,66 @@ class MixtureOf1DUniformsDataset(AnalyticalDataset):
 
     def optimal_denoiser_predictor(self, x, sigma, scale=None):
         return self.denoiser(x, sigma)
+
+
+class ShapesDataset:
+    """Synthetic geometric-shapes images for diffusion smoke training and
+    morphing studies (reference scripts/training/train-diffusion-shapes.py:
+    17-105). Host-side numpy generation, channels-last [N, size, size, 1],
+    values in {-1, +1}.
+
+    mode='paper_replica': three column slots, each independently populated
+    (p=0.5) with a triangle / square / disk at a jittered row position.
+    mode='geometry_test': one centered square or disk (p=0.5 each) —
+    the shape-morphing benchmark.
+    """
+
+    def __init__(self, num_samples: int, size: int = 64,
+                 mode: str = "paper_replica", polygon_size: int = 8,
+                 seed: int = 0):
+        if mode not in ("paper_replica", "geometry_test"):
+            raise ValueError(f"unknown mode: {mode!r}")
+        self.num_samples = num_samples
+        self.size = size
+        self.mode = mode
+        self.polygon_size = polygon_size
+        self.seed = seed
+        self.shape = (size, size, 1)
+
+    def _disk(self, img, cy, cx, r):
+        yy, xx = np.mgrid[0:self.size, 0:self.size]
+        img[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = 1.0
+
+    def _square(self, img, cy, cx, r):
+        img[max(0, cy - r):cy + r, max(0, cx - r):cx + r] = 1.0
+
+    def _triangle(self, img, cy, cx, r):
+        yy, xx = np.mgrid[0:self.size, 0:self.size]
+        # upward triangle: inside vertical band, width shrinking with height
+        h = yy - (cy - r)
+        mask = (h >= 0) & (h <= 2 * r) & (np.abs(xx - cx) <= h / 2)
+        img[mask] = 1.0
+
+    def generate(self) -> np.ndarray:
+        rng = np.random.default_rng(self.seed)
+        s, r = self.size, self.polygon_size
+        out = np.zeros((self.num_samples, s, s, 1), np.float32)
+        for i in range(self.num_samples):
+            img = out[i, :, :, 0]
+            if self.mode == "paper_replica":
+                cols = [s // 4, s // 2, 3 * s // 4]
+                draw = [self._triangle, self._square, self._disk]
+                for slot in range(3):
+                    if rng.random() > 0.5:
+                        cy = int(rng.integers(r + 1, s - r - 1))
+                        draw[slot](img, cy, cols[slot], r)
+            else:  # geometry_test
+                c, rad = s // 2, s // 4
+                if rng.random() > 0.5:
+                    self._square(img, c, c, rad)
+                else:
+                    self._disk(img, c, c, rad)
+        return out * 2.0 - 1.0
+
+    def sample(self, key=None) -> np.ndarray:
+        return self.generate()

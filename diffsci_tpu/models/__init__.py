@@ -12,6 +12,7 @@ from diffsci_tpu.models.regression import ForecastModel, ForecastModelConfig
 from diffsci_tpu.models.karras import (
     KarrasModel, KarrasModelConfig, EMATracker, TrainState,
     create_train_state, make_train_step, make_eval_step,
+    default_optimizer, schedule_free_optimizer, schedule_free_eval_params,
 )
 from diffsci_tpu.models.nets import (
     PUNetG, PUNetGCond, PUNetGConfig, MLPUncond, MLPCond,
@@ -21,5 +22,7 @@ __all__ = [
     "nets", "karras",
     "KarrasModel", "KarrasModelConfig", "EMATracker", "TrainState",
     "create_train_state", "make_train_step", "make_eval_step",
+    "default_optimizer", "schedule_free_optimizer",
+    "schedule_free_eval_params",
     "PUNetG", "PUNetGCond", "PUNetGConfig", "MLPUncond", "MLPCond",
 ]

@@ -33,6 +33,8 @@ from diffsci_tpu.models.karras.train import (
     make_train_step,
     make_eval_step,
     default_optimizer,
+    schedule_free_optimizer,
+    schedule_free_eval_params,
     nan_to_zero_grads,
     renormalize_mp_weights,
     freeze_mask,
@@ -50,6 +52,7 @@ __all__ = [
     "EMATracker", "EMAState", "power_function_beta",
     "power_function_exp_from_std",
     "TrainState", "create_train_state", "make_train_step", "make_eval_step",
-    "default_optimizer", "nan_to_zero_grads", "renormalize_mp_weights",
+    "default_optimizer", "schedule_free_optimizer",
+    "schedule_free_eval_params", "nan_to_zero_grads", "renormalize_mp_weights",
     "freeze_mask", "freeze_optimizer", "split_variables",
 ]

@@ -179,3 +179,48 @@ def fit_karras(model, dataset, *, batch_size=32, max_epochs=1,
                       select_batch=model.select_batch)
     state = trainer.fit(state, step_fn, train_loader, eval_fn, val_loader)
     return state, trainer
+
+
+class HyperparameterManager:
+    """Collects flattened hyperparameters from model/optimizer/training
+    configs for experiment tracking (reference
+    diffsci/models/aux_scripts/hpmanager.py:8-51, which pushed the dict to
+    wandb). Here the sink is a JSON file next to the metrics log — wandb is
+    not vendored in the TPU image; pass the exported dict to any tracker.
+    """
+
+    def __init__(self):
+        self.hparams: dict = {}
+
+    def add_model_config(self, model):
+        config = getattr(model, "config", None)
+        export = getattr(config, "export_description", None)
+        if export is not None:
+            self._flatten("model", export())
+
+    def add_optimizer_config(self, **kwargs):
+        self._flatten("optimizer", kwargs)
+
+    def add_training_config(self, **kwargs):
+        self._flatten("training", kwargs)
+
+    def _flatten(self, prefix, d):
+        for k, v in d.items():
+            key = f"{prefix}/{k}"
+            if isinstance(v, dict):
+                self._flatten(key, v)
+            elif isinstance(v, (int, float, str, bool)) or v is None:
+                self.hparams[key] = v
+            elif isinstance(v, (list, tuple)):
+                self.hparams[key] = list(v)
+            else:
+                self.hparams[key] = repr(v)
+
+    def export_dict(self) -> dict:
+        return dict(self.hparams)
+
+    def save(self, path):
+        p = pathlib.Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(json.dumps(self.hparams, indent=2, sort_keys=True))
+        return p

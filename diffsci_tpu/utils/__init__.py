@@ -11,6 +11,11 @@ from diffsci_tpu.utils.tensor import (
     linear_interpolation,
     get_minibatch_sizes,
 )
+from diffsci_tpu.utils.tensor import inverse_cdf_histogram
+from diffsci_tpu.utils.images import (
+    make_image_grid,
+    save_image_grid,
+)
 from diffsci_tpu.utils.periodic import (
     periodic_getitem,
     periodic_getitem_extended,
@@ -26,4 +31,7 @@ __all__ = [
     "periodic_getitem",
     "periodic_getitem_extended",
     "periodic_setitem",
+    "inverse_cdf_histogram",
+    "make_image_grid",
+    "save_image_grid",
 ]

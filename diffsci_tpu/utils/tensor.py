@@ -64,3 +64,14 @@ def get_minibatch_sizes(nsamples: int, maximum_batch_size: int) -> list[int]:
     if remainder:
         sizes.append(remainder)
     return sizes
+
+
+def inverse_cdf_histogram(z):
+    """Empirical inverse CDF of a sample via a density histogram
+    (reference diffsci/utils.py:14-18) — host-side numpy/scipy; used for
+    histogram-matched noise shaping in analysis scripts."""
+    import scipy.stats
+    import numpy as _np
+    histogram, bin_edges = _np.histogram(_np.asarray(z), bins="auto",
+                                         density=True)
+    return scipy.stats.rv_histogram((histogram, bin_edges)).ppf

@@ -97,7 +97,9 @@ def main():
     samples = model.sample(state.ema_variables(ema), key, 16, (28, 28, 1),
                            nsteps=18)
     np.save(outdir / "samples.npy", np.asarray(samples))
-    print(f"saved 16 samples to {outdir}/samples.npy")
+    from diffsci_tpu.utils import save_image_grid
+    save_image_grid(outdir / "samples.png", samples, nrow=4)
+    print(f"saved 16 samples to {outdir}/samples.npy (+ samples.png)")
 
 
 if __name__ == "__main__":

@@ -165,3 +165,24 @@ def test_extract_submodule():
         extract_submodule(v["params"], "nope/deeper")
     with pytest.raises(KeyError):
         extract_submodule(v, "nope")
+
+
+def test_hyperparameter_manager(tmp_path):
+    """HyperparameterManager flattening + JSON export (hpmanager.py:8-51)."""
+    from diffsci_tpu.trainer import HyperparameterManager
+    import json as _json
+    config = KarrasModelConfig.from_edm(loss_metric="mse")
+    model = KarrasModel(MLPUncond(dim=2, hidden_dims=[8]), config)
+    hp = HyperparameterManager()
+    hp.add_model_config(model)
+    hp.add_optimizer_config(learning_rate=1e-3, weight_decay=1e-4)
+    hp.add_training_config(batch_size=256, max_epochs=10)
+    d = hp.export_dict()
+    assert d["optimizer/learning_rate"] == 1e-3
+    assert d["training/batch_size"] == 256
+    assert any(k.startswith("model/") for k in d)
+    # nested dicts flatten with slashes; everything is JSON-serializable
+    p = hp.save(tmp_path / "hparams.json")
+    loaded = _json.loads(p.read_text())
+    assert loaded == {k: (list(v) if isinstance(v, tuple) else v)
+                      for k, v in d.items()}
