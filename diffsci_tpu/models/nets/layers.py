@@ -244,9 +244,16 @@ class _GroupNormBase(nn.Module):
         else:
             axes = (x.ndim,)
         if self.subtract_mean:
-            xg = xg - jnp.mean(xg, axis=axes, keepdims=True)
-        ms = jnp.mean(xg ** 2, axis=axes, keepdims=True)
-        xg = xg / jnp.sqrt(ms + self.eps)
+            # joint moments: one fused pass over x computes E[x] and E[x^2]
+            # (vs mean -> subtract -> second reduction = an extra full HBM
+            # read; the step is bandwidth-bound — docs/design.md roofline)
+            mean = jnp.mean(xg, axis=axes, keepdims=True)
+            ms = jnp.mean(xg ** 2, axis=axes, keepdims=True) - mean ** 2
+            ms = jnp.maximum(ms, 0.0)
+            xg = (xg - mean) / jnp.sqrt(ms + self.eps)
+        else:
+            ms = jnp.mean(xg ** 2, axis=axes, keepdims=True)
+            xg = xg / jnp.sqrt(ms + self.eps)
         x = xg.reshape((B,) + sp + (C,))
         if self.affine:
             w = self.param("scale", nn.initializers.ones, (C,))
