@@ -19,12 +19,19 @@ import orbax.checkpoint as ocp
 
 
 def save_checkpoint(path: str | pathlib.Path, state,
-                    description: dict[str, Any] | None = None) -> None:
+                    description: dict[str, Any] | None = None,
+                    overwrite: bool = True) -> None:
     """Save a TrainState pytree (and an optional JSON description next to
-    it) with orbax."""
+    it) with orbax. ``overwrite=True`` (default) replaces an existing
+    checkpoint at the same path — the save-last semantics of the
+    reference's ModelCheckpoint; pass False to refuse clobbering."""
     path = pathlib.Path(path).absolute()
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path / "state", state)
+    target = path / "state"
+    if overwrite and target.exists():
+        import shutil
+        shutil.rmtree(target)
+    ckptr.save(target, state)
     ckptr.wait_until_finished()
     if description is not None:
         (path / "description.json").write_text(json.dumps(description,

@@ -2,6 +2,7 @@
 
 from diffsci_tpu.parallel.mesh import (
     make_mesh,
+    initialize_distributed,
     shard_batch,
     replicate,
     batch_sharding,
@@ -19,7 +20,7 @@ from diffsci_tpu.parallel.tensor_parallel import (
 )
 
 __all__ = [
-    "make_mesh", "shard_batch", "replicate", "batch_sharding", "replicated",
+    "make_mesh", "initialize_distributed", "shard_batch", "replicate", "batch_sharding", "replicated",
     "pad_to_multiple", "DATA_AXIS", "SPATIAL_AXIS", "TENSOR_AXIS",
     "tensor_parallel_specs", "shard_params_tensor_parallel",
     "shard_state_tensor_parallel",

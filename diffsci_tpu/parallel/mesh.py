@@ -22,6 +22,32 @@ SPATIAL_AXIS = "spatial"  # used by halo-exchange tiled decode
 TENSOR_AXIS = "tensor"
 
 
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> int:
+    """Multi-host initialization (SURVEY.md §2.5/§5: the TPU-native stand-in
+    for the reference's torchrun rendezvous, train-edm-cifar10.py:318-327).
+
+    On Cloud TPU pods, call with no arguments — JAX discovers the topology
+    from the environment. Elsewhere pass the coordinator address and
+    process grid explicitly. Idempotent: safe to call when already
+    initialized or single-process (returns the process count either way).
+    Call BEFORE any other JAX API, then build the global mesh with
+    ``make_mesh()`` — collectives ride ICI within a slice and DCN across.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    except (RuntimeError, ValueError) as e:
+        # already initialized, or single-process with no coordinator
+        if num_processes not in (None, 1):
+            raise
+        del e
+    return jax.process_count()
+
+
 def make_mesh(n_devices: int | None = None,
               axes: Sequence[str] = (DATA_AXIS,),
               shape: Sequence[int] | None = None) -> Mesh:

@@ -146,9 +146,16 @@ class Trainer:
 def fit_karras(model, dataset, *, batch_size=32, max_epochs=1,
                max_steps=None, mesh=None, ema=None, optimizer=None,
                seed=0, val_fraction=0.0, log_dir=None,
-               checkpoint_manager=None, x_shape=None, y_example=None):
+               checkpoint_manager=None, x_shape=None, y_example=None,
+               resume_from=None):
     """One-call convenience: build state + steps + loaders and train a
-    KarrasModel (the analogue of the reference's script boilerplate)."""
+    KarrasModel (the analogue of the reference's script boilerplate).
+
+    ``resume_from``: path of a checkpoint saved with ``save_checkpoint``
+    (or a CheckpointManager directory's step subdir) — the freshly built
+    state is used as the restore template, so optimizer/EMA config must
+    match the saved run (Lightning resume analogue, SURVEY.md §5).
+    """
     from diffsci_tpu.models.karras.train import (create_train_state,
                                                  make_train_step,
                                                  make_eval_step)
@@ -160,6 +167,9 @@ def fit_karras(model, dataset, *, batch_size=32, max_epochs=1,
     key = jax.random.PRNGKey(seed)
     state, tx = create_train_state(model, key, x_shape, y_example,
                                    ema=ema, optimizer=optimizer)
+    if resume_from is not None:
+        from diffsci_tpu.checkpoint import restore_checkpoint
+        state = restore_checkpoint(resume_from, state)
     if mesh is not None:
         from diffsci_tpu.parallel import replicate
         state = replicate(state, mesh)

@@ -93,8 +93,10 @@ def main():
     outdir = pathlib.Path(args.outdir)
     save_checkpoint(outdir / "ckpt", state,
                     description=model.export_description())
-    print(f"final train_loss={trainer.logger.last('train_loss'):.4f} "
-          f"valid_loss={trainer.logger.last('valid_loss')}")
+    tl = trainer.logger.last("train_loss")
+    print(f"final train_loss={tl if tl is None else f'{tl:.4f}'} "
+          f"valid_loss={trainer.logger.last('valid_loss')} "
+          f"(step {int(state.step)})")
 
     samples = model.sample(state.ema_variables(ema), jax.random.PRNGKey(0),
                            16, (32, 32, 3), nsteps=18)

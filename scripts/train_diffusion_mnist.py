@@ -57,6 +57,8 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--channels", type=int, default=MODEL_CHANNELS)
     ap.add_argument("--outdir", default="runs/mnist-edm")
+    ap.add_argument("--resume", default=None,
+                    help="checkpoint dir to resume from (--steps is the TOTAL step budget incl. already-trained steps)")
     ap.add_argument("--n-devices", type=int, default=None,
                     help="data-parallel over this many devices")
     args = ap.parse_args()
@@ -84,13 +86,16 @@ def main():
         max_steps=args.steps, mesh=mesh, ema=ema,
         optimizer=default_optimizer(LEARNING_RATE, WEIGHT_DECAY,
                                     grad_clip=GRAD_CLIP),
-        val_fraction=0.05, log_dir=args.outdir)
+        val_fraction=0.05, log_dir=args.outdir,
+        resume_from=args.resume)
 
     outdir = pathlib.Path(args.outdir)
     save_checkpoint(outdir / "ckpt", state,
                     description=model.export_description())
-    print(f"final train_loss={trainer.logger.last('train_loss'):.4f} "
-          f"valid_loss={trainer.logger.last('valid_loss')}")
+    tl = trainer.logger.last("train_loss")
+    print(f"final train_loss={tl if tl is None else f'{tl:.4f}'} "
+          f"valid_loss={trainer.logger.last('valid_loss')} "
+          f"(step {int(state.step)})")
 
     # quick sample grid
     key = jax.random.PRNGKey(0)

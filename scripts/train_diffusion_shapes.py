@@ -65,7 +65,9 @@ def main():
     outdir = pathlib.Path(args.outdir)
     save_checkpoint(outdir / "ckpt", state,
                     description=model.export_description())
-    print(f"final train_loss={trainer.logger.last('train_loss'):.4f}")
+    tl = trainer.logger.last("train_loss")
+    print(f"final train_loss={tl if tl is None else f'{tl:.4f}'} "
+          f"(step {int(state.step)})")
 
     variables = state.ema_variables(ema)
     key = jax.random.PRNGKey(0)

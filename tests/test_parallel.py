@@ -117,3 +117,11 @@ def test_dp_tp_2d_mesh_train_step():
                     jax.tree.leaves(state_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_initialize_distributed_single_process():
+    """Multi-host init is idempotent and a no-op single-process
+    (SURVEY.md §2.5 torchrun-rendezvous analogue)."""
+    from diffsci_tpu.parallel import initialize_distributed
+    assert initialize_distributed() == jax.process_count()
+    assert initialize_distributed() == jax.process_count()  # idempotent

@@ -186,3 +186,17 @@ def test_hyperparameter_manager(tmp_path):
     loaded = _json.loads(p.read_text())
     assert loaded == {k: (list(v) if isinstance(v, tuple) else v)
                       for k, v in d.items()}
+
+
+def test_fit_karras_resume(tmp_path):
+    """Checkpoint-resume through fit_karras (Lightning resume analogue)."""
+    from diffsci_tpu.checkpoint import save_checkpoint
+    xs = np.zeros((64, 2), np.float32)
+    config = KarrasModelConfig.from_edm(loss_metric="mse")
+    model = KarrasModel(MLPUncond(dim=2, hidden_dims=[8]), config)
+    state1, _ = fit_karras(model, xs, batch_size=32, max_epochs=1, seed=0)
+    assert int(state1.step) == 2
+    save_checkpoint(tmp_path / "ckpt", state1)
+    state2, _ = fit_karras(model, xs, batch_size=32, max_epochs=1, seed=0,
+                           resume_from=tmp_path / "ckpt")
+    assert int(state2.step) == 4  # continued from step 2
