@@ -169,3 +169,45 @@ def test_config_tag_roundtrip():
         c2 = KarrasModelConfig.load_from_description_with_tag(
             c.export_description())
         assert c2.tag == c.tag
+
+
+def test_conditional_cfg_training_and_guided_sampling():
+    """Class-conditional training with ConditionDrop + CFG sampling
+    (reference tests/test_mnist_lightning_karras.py:101-169 analogue):
+    guided samples must depend on the class label."""
+    import flax.linen as nn
+    from diffsci_tpu.models import (EMATracker, KarrasModel,
+                                    KarrasModelConfig, PUNetG, PUNetGConfig,
+                                    create_train_state, make_train_step)
+    cfg = PUNetGConfig(model_channels=8, channel_expansion=[2],
+                       cond_drop=0.2,
+                       number_resnet_downward_block=1,
+                       number_resnet_upward_block=1,
+                       number_resnet_attn_block=1,
+                       number_resnet_before_attn_block=1,
+                       number_resnet_after_attn_block=1)
+    net = PUNetG(cfg, conditional_embedding=nn.Embed(2, 8))
+    model = KarrasModel(net, KarrasModelConfig.from_edm(loss_metric="mse"),
+                        conditional=True)
+    y0 = jnp.zeros((8,), jnp.int32)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0),
+                                   (8, 16, 16, 1), y=y0)
+    step = make_train_step(model, tx)
+    # class 0 -> all -1, class 1 -> all +1
+    x = jnp.concatenate([-jnp.ones((4, 16, 16, 1)),
+                         jnp.ones((4, 16, 16, 1))])
+    y = jnp.array([0, 0, 0, 0, 1, 1, 1, 1], jnp.int32)
+    for i in range(30):
+        state, m = step(state, jax.random.PRNGKey(i), x, y)
+    assert jnp.isfinite(m["train_loss"])
+    variables = state.variables()
+    s0 = model.sample(variables, jax.random.PRNGKey(99), 4, (16, 16, 1),
+                      y=jnp.zeros((4,), jnp.int32), guidance=2.0, nsteps=6)
+    s1 = model.sample(variables, jax.random.PRNGKey(99), 4, (16, 16, 1),
+                      y=jnp.ones((4,), jnp.int32), guidance=2.0, nsteps=6)
+    # same key, different class -> different (class-pulled) outputs
+    assert float(jnp.mean(s1)) > float(jnp.mean(s0))
+    # guidance=1 (no CFG mix) also runs and differs from guidance=2
+    s1g1 = model.sample(variables, jax.random.PRNGKey(99), 4, (16, 16, 1),
+                        y=jnp.ones((4,), jnp.int32), guidance=1.0, nsteps=6)
+    assert not np.allclose(np.asarray(s1), np.asarray(s1g1))
