@@ -7,6 +7,16 @@ chip. No model changes are needed: parameters get NamedShardings on their
 output-feature axis when that axis is large and divisible by the mesh axis;
 under jit, XLA propagates the shardings through the network (column-wise
 parallel linear/conv) and inserts all-gathers/reduce-scatters over ICI.
+
+KNOWN UPSTREAM LIMITATION (jax 0.9.0, XLA:CPU backend): combining a
+tensor-sharded conv KERNEL with a spatially-sharded conv INPUT on the same
+mesh miscompiles on the CPU backend — a single ``lax.conv_general_dilated``
+with kernel P(..., 'tensor') and input P(None, 'spatial', ...) returns
+wrong values, while either sharding alone is exact (pinned by
+tests/test_parallel.py::test_xla_cpu_conv_tp_sp_miscompile). Until that is
+fixed upstream, compose 'tensor' with 'data' (dp x tp — validated), and use
+'spatial' sharding for the halo decode path, not jointly with tp in one
+program on CPU.
 """
 
 from __future__ import annotations

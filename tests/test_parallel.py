@@ -1,6 +1,7 @@
 """Multi-device data-parallel tests on the 8-device virtual CPU mesh —
 coverage the reference lacks entirely (SURVEY.md §4: no multi-node tests)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -125,3 +126,91 @@ def test_initialize_distributed_single_process():
     from diffsci_tpu.parallel import initialize_distributed
     assert initialize_distributed() == jax.process_count()
     assert initialize_distributed() == jax.process_count()  # idempotent
+
+
+def test_dp2_tp4_deeper_tensor_split():
+    """dp2 x tp4: 4-way tensor split of the wide kernels still matches the
+    single-device step (the scaling direction dryrun_multichip exercises
+    at tp2)."""
+    from diffsci_tpu.parallel import shard_state_tensor_parallel
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    config = KarrasModelConfig.from_edm(loss_metric="mse")
+    model = KarrasModel(MLPUncond(dim=2, hidden_dims=[64, 64]), config)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), (8, 2))
+    state_ref, _ = create_train_state(model, jax.random.PRNGKey(0), (8, 2))
+    step_fn = make_train_step(model, tx)
+    xs = jax.random.normal(jax.random.PRNGKey(1), (8, 2)) * 0.1
+    key = jax.random.PRNGKey(2)
+
+    mesh = make_mesh(8, axes=("data", "tensor"), shape=(2, 4))
+    state2 = shard_state_tensor_parallel(state, mesh, min_size=32)
+    k = state2.params["model"]["Dense_0"]["kernel"]
+    assert k.sharding.spec == P(None, "tensor")
+    batch = jax.device_put(xs, NamedSharding(mesh, P("data", None)))
+    state_a, ma = step_fn(state_ref, key, xs)
+    state_b, mb = step_fn(state2, key, batch)
+    np.testing.assert_allclose(ma["train_loss"], mb["train_loss"],
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_dp_sp_spatial_sharded_train_step():
+    """dp x spatial: batch sharded on both batch and H axes; GSPMD inserts
+    the conv halo exchanges automatically and the step matches
+    single-device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from diffsci_tpu.models import PUNetG, PUNetGConfig
+
+    cfg = PUNetGConfig(model_channels=8, channel_expansion=[2],
+                       number_resnet_downward_block=1,
+                       number_resnet_upward_block=1,
+                       number_resnet_attn_block=1,
+                       number_resnet_before_attn_block=1,
+                       number_resnet_after_attn_block=1)
+    config = KarrasModelConfig.from_edm(loss_metric="mse")
+    model = KarrasModel(PUNetG(cfg), config)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0),
+                                   (8, 16, 16, 1))
+    ref, _ = create_train_state(model, jax.random.PRNGKey(0), (8, 16, 16, 1))
+    step = make_train_step(model, tx)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 1))
+    key = jax.random.PRNGKey(2)
+    mesh = make_mesh(8, axes=("data", "spatial"), shape=(4, 2))
+    batch = jax.device_put(x, NamedSharding(mesh, P("data", "spatial")))
+    sa, ma = step(ref, key, x)
+    sb, mb = step(state, key, batch)
+    np.testing.assert_allclose(float(ma["train_loss"]),
+                               float(mb["train_loss"]), rtol=1e-5)
+
+
+@pytest.mark.xfail(strict=True,
+                   reason="upstream XLA:CPU GSPMD miscompile (jax 0.9.0): "
+                          "conv with tensor-sharded kernel + spatially-"
+                          "sharded input returns wrong values; remove this "
+                          "xfail when a jax upgrade fixes it")
+def test_xla_cpu_conv_tp_sp_miscompile():
+    """Minimal reproducer pinning the upstream bug documented in
+    diffsci_tpu/parallel/tensor_parallel.py."""
+    from jax import lax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = make_mesh(4, axes=("tensor", "spatial"), shape=(2, 2))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 28, 28, 8))
+    k = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 8, 32)) * 0.1
+
+    def conv(xx, kk):
+        return lax.conv_general_dilated(
+            xx, kk, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    ref = jax.jit(conv)(x, k)
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, "spatial",
+                                                 None, None)))
+    ks = jax.device_put(k, NamedSharding(mesh, P(None, None, None,
+                                                 "tensor")))
+    out = jax.jit(conv)(xs, ks)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=1e-5, atol=1e-6)
