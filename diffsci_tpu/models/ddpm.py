@@ -287,10 +287,14 @@ class DDPMModel:
     loss + discrete-time sampling."""
 
     def __init__(self, model, config: DDPMModelConfig,
-                 conditional: bool = False):
+                 conditional: bool = False, compute_dtype=None):
+        """``compute_dtype``: bf16 mixed precision for the noise-predictor
+        forward; alpha-bar math and the loss stay float32 (same contract
+        as KarrasModel)."""
         self.model = model
         self.config = config
         self.conditional = conditional
+        self.compute_dtype = compute_dtype
         if config.loss_metric == "mse":
             self._loss = lambda a, b: (a - b) ** 2
         elif config.loss_metric == "huber":
@@ -307,7 +311,19 @@ class DDPMModel:
 
     def noise_predictor(self, variables, x, t, y=None, train=False,
                         rngs=None):
-        return self.model.apply(variables, x, t, y, train=train, rngs=rngs)
+        cd = self.compute_dtype
+        if cd is None:
+            return self.model.apply(variables, x, t, y, train=train,
+                                    rngs=rngs)
+
+        def cast(p):
+            return (p.astype(cd) if hasattr(p, "dtype")
+                    and jnp.issubdtype(p.dtype, jnp.floating) else p)
+        out = self.model.apply(jax.tree.map(cast, variables), cast(x),
+                               cast(t), jax.tree.map(cast, y)
+                               if y is not None else None,
+                               train=train, rngs=rngs)
+        return out.astype(jnp.float32)
 
     def sample_timestep(self, key, nsamples: int):
         """Uniform integer t in [1, T] (v2/ddpmmodule.py:206-214)."""

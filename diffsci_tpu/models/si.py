@@ -129,10 +129,15 @@ class SIModel:
     """Functional flow-matching runtime (flowfield.py:289-795)."""
 
     def __init__(self, model: nn.Module, config: SIModelConfig,
-                 autoencoder=None):
+                 autoencoder=None, compute_dtype=None):
+        """``compute_dtype``: mixed precision for the network forward —
+        params and activations cast to this dtype (bfloat16 on TPU) while
+        interpolation math and the loss stay float32 (same contract as
+        KarrasModel)."""
         self.model = model
         self.config = config
         self.autoencoder = autoencoder
+        self.compute_dtype = compute_dtype
         if isinstance(config.initial_norm, (float, int)) \
                 and not isinstance(config.initial_norm, bool):
             self.initial_norm = ConstantBatchNorm(float(config.initial_norm))
@@ -188,15 +193,33 @@ class SIModel:
     # ------------------------------------------------------------------
     # preconditioned flow (flowfield.py:115-169)
     # ------------------------------------------------------------------
+    def _apply_net(self, variables, *args, train=False, rngs=None, **kw):
+        """model.apply with optional bf16 mixed precision: params and
+        array inputs cast to compute_dtype, output back to f32."""
+        cd = self.compute_dtype
+        if cd is None:
+            return self.model.apply(variables, *args, train=train,
+                                    rngs=rngs, **kw)
+
+        def cast(p):
+            return (p.astype(cd) if hasattr(p, "dtype")
+                    and jnp.issubdtype(p.dtype, jnp.floating) else p)
+        variables = jax.tree.map(cast, variables)
+        args = tuple(jax.tree.map(cast, a) for a in args)
+        kw = {k: jax.tree.map(cast, v) for k, v in kw.items()}
+        out = self.model.apply(variables, *args, train=train, rngs=rngs,
+                               **kw)
+        return out.astype(jnp.float32)
+
     def _raw_flow(self, variables, x, t, y, train=False, rngs=None):
         pre = self.config.precondition_fn
         sch = self.config.scheduler
         if pre is None or pre == "identity":
             if self.config.autonomous_flow:
-                return self.model.apply(variables, x, y=y, train=train,
-                                        rngs=rngs)
-            return self.model.apply(variables, x, t, y, train=train,
-                                    rngs=rngs)
+                return self._apply_net(variables, x, y=y, train=train,
+                                       rngs=rngs)
+            return self._apply_net(variables, x, t, y, train=train,
+                                   rngs=rngs)
         if pre == "edm":
             sigma_data = self.config.sigma_data
             sigma = bcast_right(sch.sigma_fn(t), x)
@@ -205,7 +228,7 @@ class SIModel:
             cout = sigma * sigma_data / jnp.sqrt(sigma_data ** 2 + sigma ** 2)
             cskip = sigma_data ** 2 / (sigma_data ** 2 + sigma ** 2)
             cnoise = 0.5 * jnp.log(sch.sigma_fn(t))
-            denoiser = cskip * x + cout * self.model.apply(
+            denoiser = cskip * x + cout * self._apply_net(
                 variables, cin * x, cnoise, y, train=train, rngs=rngs)
             return sigma_dot / sigma * (x - denoiser)
         if callable(pre):

@@ -107,3 +107,29 @@ def test_forward_propagation():
     # fully noised: approx standard normal
     assert abs(float(jnp.mean(out))) < 0.2
     assert abs(float(jnp.std(out)) - 1.0) < 0.2
+
+
+def test_ddpm_compute_dtype_bf16():
+    """bf16 mixed precision in DDPMModel."""
+    import flax.linen as nn
+    from diffsci_tpu.models.ddpm import (DDPMModel, DDPMModelConfig,
+                                         CosineDDPMScheduler, DDPMIntegrator)
+
+    class TinyEps(nn.Module):
+        @nn.compact
+        def __call__(self, x, t, y=None, train=False):
+            h = nn.Dense(8)(x) + nn.Dense(8)(t[:, None] / 1000.0)
+            return nn.Dense(x.shape[-1])(nn.silu(h))
+
+    sch = CosineDDPMScheduler()
+    config = DDPMModelConfig(scheduler=sch,
+                             integrator=DDPMIntegrator(sch))
+    model = DDPMModel(TinyEps(), config, compute_dtype=jnp.bfloat16)
+    v = model.init(jax.random.PRNGKey(0), (4, 2))
+    eps = model.noise_predictor(v, jnp.ones((4, 2)), jnp.full((4,), 10.0))
+    assert eps.dtype == jnp.float32
+    loss = model.loss_fn(v, jax.random.PRNGKey(1), jnp.ones((4, 2)),
+                         jnp.full((4,), 10.0))
+    assert jnp.isfinite(loss)
+    out = model.sample(v, jax.random.PRNGKey(2), 2, (2,), nsteps=5)
+    assert out.shape == (2, 2) and bool(jnp.all(jnp.isfinite(out)))

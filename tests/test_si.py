@@ -155,3 +155,32 @@ def test_inpaint_shapes():
                         nsteps=10, resample_steps=1, mask_falloff=1)
     assert out.shape == (2, 8, 8, 1)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_si_compute_dtype_bf16():
+    """bf16 mixed precision in SIModel (KarrasModel contract parity)."""
+    from diffsci_tpu.models.si import SIModel, SIModelConfig
+    import flax.linen as nn
+
+    class TinyFlow(nn.Module):
+        @nn.compact
+        def __call__(self, x, t, y=None, train=False):
+            emb = nn.Dense(8)(t[:, None])
+            h = nn.Dense(8)(x) + emb
+            return nn.Dense(x.shape[-1])(nn.silu(h))
+
+    for cfg in (SIModelConfig(loss_metric="mse"),
+                SIModelConfig(loss_metric="mse", precondition_fn="edm")):
+        model = SIModel(TinyFlow(), cfg, compute_dtype=jnp.bfloat16)
+        v = model.init(jax.random.PRNGKey(0), (4, 2))
+        x = jnp.ones((4, 2))
+        t = jnp.full((4,), 0.5)
+        flow = model.get_flow_field(v, x, t)
+        assert flow.dtype == jnp.float32  # output restored to f32
+        loss = model.loss_fn(v, jax.random.PRNGKey(1), x, t)
+        assert jnp.isfinite(loss)
+        # matches f32 model to bf16 tolerance
+        model32 = SIModel(TinyFlow(), cfg)
+        flow32 = model32.get_flow_field(v, x, t)
+        np.testing.assert_allclose(np.asarray(flow), np.asarray(flow32),
+                                   rtol=0.05, atol=0.05)
