@@ -147,7 +147,7 @@ def fit_karras(model, dataset, *, batch_size=32, max_epochs=1,
                max_steps=None, mesh=None, ema=None, optimizer=None,
                seed=0, val_fraction=0.0, log_dir=None,
                checkpoint_manager=None, x_shape=None, y_example=None,
-               resume_from=None):
+               resume_from=None, profile_dir=None, profile_steps=None):
     """One-call convenience: build state + steps + loaders and train a
     KarrasModel (the analogue of the reference's script boilerplate).
 
@@ -186,7 +186,8 @@ def fit_karras(model, dataset, *, batch_size=32, max_epochs=1,
     trainer = Trainer(max_epochs=max_epochs, max_steps=max_steps, mesh=mesh,
                       seed=seed, log_dir=log_dir,
                       checkpoint_manager=checkpoint_manager,
-                      select_batch=model.select_batch)
+                      select_batch=model.select_batch,
+                      profile_dir=profile_dir, profile_steps=profile_steps)
     state = trainer.fit(state, step_fn, train_loader, eval_fn, val_loader)
     return state, trainer
 

@@ -61,6 +61,9 @@ def main():
                     help="checkpoint dir to resume from (--steps is the TOTAL step budget incl. already-trained steps)")
     ap.add_argument("--n-devices", type=int, default=None,
                     help="data-parallel over this many devices")
+    ap.add_argument("--profile", action="store_true",
+                    help="capture a jax.profiler trace of steps 10-20 "
+                         "into OUTDIR/profile")
     args = ap.parse_args()
 
     import jax
@@ -87,7 +90,10 @@ def main():
         optimizer=default_optimizer(LEARNING_RATE, WEIGHT_DECAY,
                                     grad_clip=GRAD_CLIP),
         val_fraction=0.05, log_dir=args.outdir,
-        resume_from=args.resume)
+        resume_from=args.resume,
+        profile_dir=(pathlib.Path(args.outdir) / "profile"
+                     if args.profile else None),
+        profile_steps=(10, 20) if args.profile else None)
 
     outdir = pathlib.Path(args.outdir)
     save_checkpoint(outdir / "ckpt", state,
