@@ -11,7 +11,6 @@ spatial axis (index 2), matching the reference's z-last spatial order.
 
 from __future__ import annotations
 
-import math
 from typing import Literal
 
 import numpy as np

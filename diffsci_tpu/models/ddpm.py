@@ -16,7 +16,6 @@ noise_predictor wiring, v2/ddpmmodule.py:158-276).
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional
 
 import numpy as np
 import jax

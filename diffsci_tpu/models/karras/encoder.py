@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from typing import Any
 
-import jax
 import flax.linen as nn
 
 from diffsci_tpu.models.karras.module import KarrasModel, KarrasModelConfig

@@ -27,7 +27,7 @@ autoregressive mixin (autoregressiveloss.py:7-274):
 from __future__ import annotations
 
 import fnmatch
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ date/geo Fourier projections (reference diffsci/models/nets/utils.py:43-155).
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 import flax.linen as nn

@@ -21,7 +21,6 @@ from typing import Any, Callable, Sequence
 import jax.numpy as jnp
 import flax.linen as nn
 
-from diffsci_tpu.utils import bcast_right
 
 
 # ---------------------------------------------------------------------------

@@ -126,7 +126,6 @@ def test_remat_train_step_matches_plain():
     xs = jax.random.normal(jax.random.PRNGKey(1), (8, 2))
     plain = make_train_step(model, tx)
     rematd = make_train_step(model, tx, remat=True)
-    import copy
     sa, ma = plain(state0, jax.random.PRNGKey(2), xs)
     state0b, _ = create_train_state(model, jax.random.PRNGKey(0), (8, 2))
     sb, mb = rematd(state0b, jax.random.PRNGKey(2), xs)
