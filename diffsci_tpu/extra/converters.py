@@ -115,12 +115,15 @@ def torch_linear_to_jax(weight: np.ndarray) -> np.ndarray:
 
 
 def import_torch_state_dict(state_dict: dict, name_map: dict[str, str],
-                            dst_template: Any) -> Any:
+                            dst_template: Any,
+                            raw_keys: Sequence[str] = ()) -> Any:
     """Import a torch state dict into a flax param tree.
 
     ``name_map``: flax '/'-joined param path -> torch key. Conv kernels and
     linear weights are layout-converted automatically based on rank and the
-    destination leaf shape."""
+    destination leaf shape. Source keys listed in ``raw_keys`` are copied
+    without any layout transform (used for pre-converted arrays)."""
+    raw_keys = set(raw_keys)
     dst_flat = _flatten(dst_template)
     out = {}
     for path, leaf in dst_flat.items():
@@ -129,9 +132,14 @@ def import_torch_state_dict(state_dict: dict, name_map: dict[str, str],
             out[path] = leaf
             continue
         w = np.asarray(state_dict[name_map[joined]])
-        if w.ndim >= 3:
+        if name_map[joined] in raw_keys:
+            pass
+        elif w.ndim >= 3:
             w = torch_kernel_to_jax(w)
-        elif w.ndim == 2 and w.shape != leaf.shape:
+        elif w.ndim == 2 and path[-1] == "kernel":
+            # torch Linear stores [out, in]; flax Dense stores [in, out].
+            # Always transpose (a square matrix would pass the shape check
+            # untransposed).
             w = torch_linear_to_jax(w)
         if w.shape != leaf.shape:
             raise ValueError(
@@ -143,3 +151,142 @@ def import_torch_state_dict(state_dict: dict, name_map: dict[str, str],
                          for p in path)]
                for path, _ in leaves_with_path]
     return jax.tree_util.tree_unflatten(treedef, ordered)
+
+
+# ---------------------------------------------------------------------------
+# reference PUNetG state-dict import
+# ---------------------------------------------------------------------------
+_PUNETG_PREFIX_RULES = [
+    (re.compile(r"^downward_blocks\.(\d+)\.(\d+)\.(.*)$"),
+     lambda m: ("down_{}_res_{}".format(m.group(1), m.group(2)), m.group(3))),
+    (re.compile(r"^upward_blocks\.(\d+)\.(\d+)\.(.*)$"),
+     lambda m: ("up_{}_res_{}".format(m.group(1), m.group(2)), m.group(3))),
+    (re.compile(r"^before_block\.(\d+)\.(.*)$"),
+     lambda m: ("before_res_{}".format(m.group(1)), m.group(2))),
+    (re.compile(r"^after_block\.(\d+)\.(.*)$"),
+     lambda m: ("after_res_{}".format(m.group(1)), m.group(2))),
+    (re.compile(r"^attn_resnet_block\.(\d+)\.(.*)$"),
+     lambda m: ("attn_res_{}".format(m.group(1)), m.group(2))),
+    (re.compile(r"^attn_block\.(\d+)\.(.*)$"),
+     lambda m: ("attn_{}".format(m.group(1)), m.group(2))),
+    (re.compile(r"^downsamplers\.(\d+)\.conv\.(.*)$"),
+     lambda m: ("downsampler_{}/Conv_0".format(m.group(1)), m.group(2))),
+    (re.compile(r"^upsamplers\.(\d+)\.conv\.(.*)$"),
+     lambda m: ("upsampler_{}/Conv_0".format(m.group(1)), m.group(2))),
+]
+
+_PUNETG_RESBLOCK_LEAVES = {
+    "gnorm1.weight": "GroupLNorm_0/scale",
+    "gnorm1.bias": "GroupLNorm_0/bias",
+    "gnorm2.weight": "GroupRMSNorm_0/scale",
+    "gnorm2.bias": "GroupRMSNorm_0/bias",
+    "conv1.weight": "Conv_0/kernel",
+    "conv1.bias": "Conv_0/bias",
+    "conv2.weight": "Conv_1/kernel",
+    "conv2.bias": "Conv_1/bias",
+    "timeblock.net.0.weight": "ResnetTimeBlock_0/Dense_0/kernel",
+    "timeblock.net.0.bias": "ResnetTimeBlock_0/Dense_0/bias",
+    "timeblock.net.2.weight": "ResnetTimeBlock_0/Dense_1/kernel",
+    "timeblock.net.2.bias": "ResnetTimeBlock_0/Dense_1/bias",
+    "timeblock.net.4.weight": "ResnetTimeBlock_0/Dense_2/kernel",
+    "timeblock.net.4.bias": "ResnetTimeBlock_0/Dense_2/bias",
+}
+
+# torch.nn.MultiheadAttention keys (reference NDimensionalAttention,
+# attention.py:8-102) are handled by ``import_reference_punetg``'s
+# pre-conversion, not by the leaf map.
+
+
+def punetg_reference_name_map(torch_keys) -> dict[str, str]:
+    """Build the flax-path -> torch-key map for importing a reference
+    PUNetG state dict (reference punetg.py:80-106 module tree) into our
+    PUNetG variables ({'params': ..., 'buffers': ...}).
+
+    Covers the default-norm config (first_norm='GroupLN',
+    second_norm='GroupRMS') with default or circular convolutions.
+    Use with ``import_torch_state_dict``.
+    """
+    name_map = {}
+    for key in torch_keys:
+        if key == "time_projection.W":
+            name_map["buffers/time_projection/W"] = key
+            continue
+        for prefix in ("convin", "convout"):
+            if key == f"{prefix}.weight":
+                name_map[f"params/{prefix}/kernel"] = key
+            elif key == f"{prefix}.bias":
+                name_map[f"params/{prefix}/bias"] = key
+        if key.startswith(("convin.", "convout.")):
+            continue
+        for pat, repl in _PUNETG_PREFIX_RULES:
+            m = pat.match(key)
+            if m is None:
+                continue
+            scope, rest = repl(m)
+            if rest in _PUNETG_RESBLOCK_LEAVES:
+                name_map[f"params/{scope}/{_PUNETG_RESBLOCK_LEAVES[rest]}"] \
+                    = key
+            elif rest in ("weight", "bias"):
+                leaf = "kernel" if rest == "weight" else "bias"
+                name_map[f"params/{scope}/{leaf}"] = key
+            else:
+                raise KeyError(f"unmapped reference PUNetG key: {key}")
+            break
+        else:
+            raise KeyError(f"unmapped reference PUNetG key: {key}")
+    return name_map
+
+
+_TORCH_MHA_RE = re.compile(r"^attn_block\.(\d+)\.mhattn\.(.+)$")
+
+
+def import_reference_punetg(state_dict: dict, dst_template: Any,
+                            num_heads: int = 1) -> Any:
+    """Import a reference PUNetG state dict (punetg.py:80-106) into our
+    PUNetG variables, including torch.nn.MultiheadAttention bottleneck
+    layers (attention.py:30-36): the packed in_proj [3C, C] is split into
+    per-head q/k/v tensors [H, C, dh] and out_proj [C, C] into [H, C, dh]
+    matching our einsum conventions (models/nets/attention.py:91-114).
+    """
+    sd = dict(state_dict)
+    pre = {}
+    name_map = {}
+    for key in list(sd):
+        m = _TORCH_MHA_RE.match(key)
+        if m is None:
+            continue
+        j, rest = m.group(1), m.group(2)
+        scope = f"params/attn_{j}/MultiHeadAttention_0"
+        w = np.asarray(sd.pop(key))
+        H = num_heads
+        if rest == "in_proj_weight":
+            C = w.shape[1]
+            dh = C // H
+            for i, nm in enumerate(("q", "k", "v")):
+                # torch: q[t, h*dh+d] = sum_c x[t,c] W[h*dh+d, c]
+                # ours:  q[h, t, d]   = sum_c x[t,c] w[h, c, d]
+                pre[f"{scope}/w_{nm}"] = \
+                    w[i * C:(i + 1) * C].reshape(H, dh, C).transpose(0, 2, 1)
+        elif rest == "in_proj_bias":
+            C = w.shape[0] // 3
+            dh = C // H
+            for i, nm in enumerate(("q", "k", "v")):
+                pre[f"{scope}/bias_{nm}"] = \
+                    w[i * C:(i + 1) * C].reshape(H, 1, dh)
+        elif rest == "out_proj.weight":
+            C = w.shape[0]
+            dh = C // H
+            # torch: y[t, c] = sum_{h,d} o[t, h*dh+d] W[c, h*dh+d]
+            # ours:  y[t, c] = sum_{h,d} o[h, t, d] w[h, c, d]
+            pre[f"{scope}/w_o"] = w.reshape(C, H, dh).transpose(1, 0, 2)
+        elif rest == "out_proj.bias":
+            pre[f"{scope}/bias_o"] = w
+        else:
+            raise KeyError(f"unmapped attention key: {key}")
+    name_map = punetg_reference_name_map(sd.keys())
+    merged = dict(sd)
+    merged.update(pre)
+    for path in pre:
+        name_map[path] = path
+    return import_torch_state_dict(merged, name_map, dst_template,
+                                   raw_keys=pre.keys())
