@@ -111,8 +111,12 @@ class CheckpointManager:
             best_mode=mode)
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
-    def save(self, step: int, state, metrics: dict[str, float]):
-        metrics = {k: float(v) for k, v in metrics.items()}
+    def save(self, step: int, state, metrics: dict[str, float] | None = None):
+        """``metrics=None`` marks a cadence/crash-safety save: it carries no
+        monitored metric, so orbax keeps it outside the top-k-by-metric
+        competition (keep_checkpoints_without_metrics default)."""
+        if metrics is not None:
+            metrics = {k: float(v) for k, v in metrics.items()}
         self._mgr.save(step, args=ocp.args.StandardSave(state),
                        metrics=metrics)
 

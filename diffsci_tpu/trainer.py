@@ -65,6 +65,8 @@ class Trainer:
                  log_every: int = 50,
                  val_every_epochs: int = 1,
                  checkpoint_manager=None,
+                 save_every_steps: int | None = None,
+                 save_last: bool = True,
                  log_dir: str | pathlib.Path | None = None,
                  select_batch: Callable | None = None,
                  profile_dir: str | pathlib.Path | None = None,
@@ -76,6 +78,13 @@ class Trainer:
         self.log_every = log_every
         self.val_every_epochs = val_every_epochs
         self.checkpoint_manager = checkpoint_manager
+        # step-cadence + save-on-exit checkpointing, independent of
+        # validation (the reference's ModelCheckpoint save_last semantics,
+        # train-diffusion-cifar10.py:78-85; fixes the round-1 gap where a
+        # no-validation run never checkpointed)
+        self.save_every_steps = save_every_steps
+        self.save_last = save_last
+        self._last_saved_step = -1
         self.logger = MetricLogger(log_dir)
         self.select_batch = select_batch or (lambda b: (b, None, None))
         self.profile_dir = profile_dir
@@ -115,6 +124,11 @@ class Trainer:
                     elapsed = time.perf_counter() - t_start
                     metrics["imgs_per_sec"] = images_seen / max(elapsed, 1e-9)
                     self.logger.log(step, metrics)
+                if (self.checkpoint_manager is not None
+                        and self.save_every_steps
+                        and step % self.save_every_steps == 0):
+                    self.checkpoint_manager.save(step, state)
+                    self._last_saved_step = step
                 if self.max_steps is not None and step >= self.max_steps:
                     break
             if (eval_fn is not None and val_loader is not None
@@ -123,8 +137,13 @@ class Trainer:
                 self.logger.log(step, val_metrics)
                 if self.checkpoint_manager is not None:
                     self.checkpoint_manager.save(step, state, val_metrics)
+                    self._last_saved_step = step
             if self.max_steps is not None and step >= self.max_steps:
                 break
+        if (self.checkpoint_manager is not None and self.save_last
+                and step > 0 and step != self._last_saved_step):
+            self.checkpoint_manager.save(step, state)
+            self._last_saved_step = step
         return state
 
     def validate(self, state, eval_fn, val_loader, key) -> dict[str, float]:
@@ -146,7 +165,8 @@ class Trainer:
 def fit_karras(model, dataset, *, batch_size=32, max_epochs=1,
                max_steps=None, mesh=None, ema=None, optimizer=None,
                seed=0, val_fraction=0.0, log_dir=None,
-               checkpoint_manager=None, x_shape=None, y_example=None,
+               checkpoint_manager=None, save_every_steps=None,
+               x_shape=None, y_example=None,
                resume_from=None, profile_dir=None, profile_steps=None):
     """One-call convenience: build state + steps + loaders and train a
     KarrasModel (the analogue of the reference's script boilerplate).
@@ -186,6 +206,7 @@ def fit_karras(model, dataset, *, batch_size=32, max_epochs=1,
     trainer = Trainer(max_epochs=max_epochs, max_steps=max_steps, mesh=mesh,
                       seed=seed, log_dir=log_dir,
                       checkpoint_manager=checkpoint_manager,
+                      save_every_steps=save_every_steps,
                       select_batch=model.select_batch,
                       profile_dir=profile_dir, profile_steps=profile_steps)
     state = trainer.fit(state, step_fn, train_loader, eval_fn, val_loader)

@@ -199,3 +199,41 @@ def test_fit_karras_resume(tmp_path):
     state2, _ = fit_karras(model, xs, batch_size=32, max_epochs=1, seed=0,
                            resume_from=tmp_path / "ckpt")
     assert int(state2.step) == 4  # continued from step 2
+
+
+def test_no_validation_fit_checkpoints(tmp_path):
+    """A fit with NO validation loader must still leave a restorable
+    checkpoint: step-cadence saves plus a save-last on exit (round-1
+    review item: previously the manager only saved inside the val
+    branch)."""
+    from diffsci_tpu.checkpoint import CheckpointManager
+    xs = np.zeros((96, 2), np.float32)
+    config = KarrasModelConfig.from_edm(loss_metric="mse")
+    model = KarrasModel(MLPUncond(dim=2, hidden_dims=[8]), config)
+    mgr = CheckpointManager(tmp_path / "ckpts", max_to_keep=3)
+    state, _ = fit_karras(model, xs, batch_size=32, max_epochs=1, seed=0,
+                          checkpoint_manager=mgr, save_every_steps=2)
+    # 3 steps total: cadence save at 2, save-last at 3
+    from diffsci_tpu.models.karras.train import create_train_state
+    template, _ = create_train_state(model, jax.random.PRNGKey(0), (32, 2))
+    restored, step = mgr.restore_latest(template)
+    assert step == 3
+    assert int(restored.step) == 3
+    mgr.close()
+
+
+def test_save_last_not_duplicated(tmp_path):
+    """When the final step coincides with a cadence save, save-last must
+    not save the same step twice (orbax rejects duplicate steps)."""
+    from diffsci_tpu.checkpoint import CheckpointManager
+    xs = np.zeros((64, 2), np.float32)
+    config = KarrasModelConfig.from_edm(loss_metric="mse")
+    model = KarrasModel(MLPUncond(dim=2, hidden_dims=[8]), config)
+    mgr = CheckpointManager(tmp_path / "ckpts", max_to_keep=3)
+    state, _ = fit_karras(model, xs, batch_size=32, max_epochs=1, seed=0,
+                          checkpoint_manager=mgr, save_every_steps=1)
+    from diffsci_tpu.models.karras.train import create_train_state
+    template, _ = create_train_state(model, jax.random.PRNGKey(0), (32, 2))
+    _, step = mgr.restore_latest(template)
+    assert step == 2
+    mgr.close()
