@@ -37,6 +37,108 @@ def test_flash_attention_small_tokens_uses_xla():
     assert out.shape == q.shape
 
 
+def test_flash_attention_ragged_tokens_and_unaligned_head_dim():
+    """T not a block multiple AND d not lane-aligned: padded keys must be
+    masked out and zero head-lanes sliced away (both previously forced an
+    XLA fallback)."""
+    B, H, T, d = 1, 2, 300, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, T, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, T, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, T, d))
+    out = fa.flash_attention(q, k, v, min_tokens=256, interpret=True)
+    ref = fa._xla_attention(q, k, v)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_flash_attention_grad_matches_xla():
+    """backend='flash' must train: custom-VJP grads vs XLA autodiff."""
+    B, H, T, d = 1, 2, 256, 64
+
+    def make(i):
+        return jax.random.normal(jax.random.PRNGKey(i), (B, H, T, d))
+
+    q, k, v = make(0), make(1), make(2)
+
+    def loss_flash(q, k, v):
+        y = fa.flash_attention(q, k, v, min_tokens=256, interpret=True)
+        return jnp.sum(jnp.sin(y) * y)
+
+    def loss_xla(q, k, v):
+        y = fa._xla_attention(q, k, v)
+        return jnp.sum(jnp.sin(y) * y)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, r, nm in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(a, r, rtol=1e-3, atol=1e-4,
+                                   err_msg=f"d{nm}")
+
+
+def test_flash_attention_grad_ragged():
+    """Grads with T-padding: padded keys/queries must contribute nothing."""
+    B, H, T, d = 1, 1, 300, 128
+
+    def make(i):
+        return jax.random.normal(jax.random.PRNGKey(i), (B, H, T, d))
+
+    q, k, v = make(3), make(4), make(5)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, min_tokens=256,
+                                          interpret=True) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(fa._xla_attention(q, k, v) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, r, nm in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(a, r, rtol=1e-3, atol=1e-4,
+                                   err_msg=f"d{nm}")
+
+
+def test_flash_attention_bf16():
+    B, H, T, d = 1, 1, 256, 128
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, T, d),
+                          dtype=jnp.float32).astype(jnp.bfloat16)
+    out = fa.flash_attention(q, q, q, min_tokens=256, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = fa._xla_attention(q.astype(jnp.float32), q.astype(jnp.float32),
+                            q.astype(jnp.float32))
+    np.testing.assert_allclose(out.astype(jnp.float32), ref,
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_attention_module_flash_backend_trains():
+    """MultiHeadAttention(backend='flash') end-to-end: forward parity with
+    the xla backend and finite grads through the module."""
+    from diffsci_tpu.models.nets import attention
+
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 300, 64))
+    mod_x = attention.MultiHeadAttention(num_heads=2, backend="xla")
+    vs = mod_x.init(jax.random.PRNGKey(0), x)
+    y_x = mod_x.apply(vs, x)
+
+    mod_f = attention.MultiHeadAttention(num_heads=2, backend="flash")
+    import diffsci_tpu.kernels.flash_attention as fa_mod
+    fa_mod.INTERPRET = True
+    old_mt = fa_mod.DEFAULT_MIN_TOKENS
+    fa_mod.DEFAULT_MIN_TOKENS = 256
+    try:
+        y_f = mod_f.apply(vs, x)
+
+        def loss(vs):
+            return jnp.sum(mod_f.apply(vs, x) ** 2)
+
+        g = jax.grad(loss)(vs)
+    finally:
+        fa_mod.INTERPRET = False
+        fa_mod.DEFAULT_MIN_TOKENS = old_mt
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_x),
+                               rtol=2e-4, atol=2e-5)
+    assert all(jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree.leaves(g))
+
+
 # ---------------------------------------------------------------------------
 # fused norm + SiLU (kernels/fused_norm.py)
 # ---------------------------------------------------------------------------
