@@ -221,14 +221,27 @@ class KarrasModel:
                  encode_y: bool = False,
                  decode_original_y: bool = False,
                  norm: float = 1.0,
-                 compute_dtype=None):
+                 compute_dtype=None,
+                 fused_precondition: bool | str = "sample"):
         """``compute_dtype``: mixed precision for the network forward —
         parameters and activations are cast to this dtype (bfloat16 on TPU)
         inside get_denoiser while master params, the preconditioning math,
-        and the loss stay float32."""
+        and the loss stay float32.
+
+        ``fused_precondition``: route the denoiser combine
+        D = c_skip·x + c_out·F through the fused Pallas kernel
+        (kernels/fused_precondition.py) instead of XLA elementwise ops.
+        TPU v5e measurements: 1.66x faster 18-NFE sampling (XLA pads
+        channels-last C=1 layouts to 128 lanes; the kernel works on a flat
+        [B, N] view), but 6.5% slower training (the custom-VJP call is an
+        XLA fusion barrier in the backward). Hence the default "sample":
+        fused in no-grad paths (train=False), plain XLA in the training
+        loss. True forces it everywhere, False disables. Falls back to
+        XLA off-TPU either way."""
         self.model = model
         self.config = config
         self.compute_dtype = compute_dtype
+        self.fused_precondition = fused_precondition
         self.conditional = conditional
         self.masked = masked
         self.autoencoder = autoencoder  # bound AE: .encode(x, key, y)/.decode
@@ -374,6 +387,12 @@ class KarrasModel:
                 base = (1.0 - guidance) * uncond + guidance * base
         else:
             base = net_fwd(None)
+        use_fused = (self.fused_precondition is True
+                     or (self.fused_precondition == "sample" and not train))
+        if use_fused:
+            from diffsci_tpu.kernels import fused_precondition as fp
+            return fp.denoise_combine(x, base, pre.skip_scaling(sigma),
+                                      pre.output_scaling(sigma)), cnoise
         return c_out * base + c_skip * x, cnoise
 
     def get_score(self, variables, x, sigma, y=None, guidance: float = 1.0):
