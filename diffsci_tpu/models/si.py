@@ -23,7 +23,8 @@ import flax.linen as nn
 
 from diffsci_tpu.utils import bcast_right, dict_expand_dims
 from diffsci_tpu.ops.losses import huber as huber_loss
-from diffsci_tpu.ops.batchnorm import ConstantBatchNorm, IdentityBatchNorm
+from diffsci_tpu.ops.batchnorm import (ConstantBatchNorm, IdentityBatchNorm,
+                                       DimensionAgnosticBatchNorm)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -138,13 +139,20 @@ class SIModel:
         self.config = config
         self.autoencoder = autoencoder
         self.compute_dtype = compute_dtype
+        self.has_running_norm = False
+        self._bnorm = None
         if isinstance(config.initial_norm, (float, int)) \
                 and not isinstance(config.initial_norm, bool):
             self.initial_norm = ConstantBatchNorm(float(config.initial_norm))
         elif config.initial_norm:
-            raise NotImplementedError(
-                "running-stat initial norm: use KarrasModel's EDM batch "
-                "norm wiring; SIModel supports constant/identity norms")
+            # running-stat initial norm (reference flowfield.py:233-286):
+            # per-batch stats update the running mean/var during training;
+            # sampling/inversion use the stored stats. Stats live in the
+            # variables dict under batch_stats/initial_norm, same pattern
+            # as KarrasModel's EDM batch norm.
+            self.has_running_norm = True
+            self._bnorm = DimensionAgnosticBatchNorm(sigma=config.sigma_data)
+            self.initial_norm = None
         else:
             self.initial_norm = IdentityBatchNorm()
         if config.loss_metric == "mse":
@@ -161,8 +169,39 @@ class SIModel:
         x = jnp.zeros(x_shape, jnp.float32)
         t = jnp.ones((x_shape[0],), jnp.float32)
         if self.config.autonomous_flow:
-            return self.model.init({"params": kp, "dropout": kd}, x, y=y)
-        return self.model.init({"params": kp, "dropout": kd}, x, t, y)
+            variables = self.model.init({"params": kp, "dropout": kd}, x,
+                                        y=y)
+        else:
+            variables = self.model.init({"params": kp, "dropout": kd}, x, t,
+                                        y)
+        if self.has_running_norm:
+            bn = self._bnorm.init(kp, x)
+            variables = dict(variables)
+            stats = dict(variables.get("batch_stats", {}))
+            stats["initial_norm"] = bn["batch_stats"]
+            variables["batch_stats"] = stats
+        return variables
+
+    # ------------------------------------------------------------------
+    # initial norm (flowfield.py:233-286)
+    # ------------------------------------------------------------------
+    def _norm_fwd(self, variables, x, train: bool):
+        """normalize(x) -> (x, mutable_updates). With the running-stat
+        norm, training batches update the running mean/var."""
+        if not self.has_running_norm:
+            return self.initial_norm.normalize(x), {}
+        bn_vars = {"batch_stats": variables["batch_stats"]["initial_norm"]}
+        if train:
+            x, upd = self._bnorm.apply(bn_vars, x, use_running_stats=False,
+                                       mutable=["batch_stats"])
+            return x, {"batch_stats": {"initial_norm": upd["batch_stats"]}}
+        return self._bnorm.apply(bn_vars, x), {}
+
+    def _norm_inv(self, variables, x):
+        if not self.has_running_norm:
+            return self.initial_norm.unnormalize(x)
+        bn_vars = {"batch_stats": variables["batch_stats"]["initial_norm"]}
+        return self._bnorm.unnormalize(bn_vars, x)
 
     def encode(self, x, y=None, key=None):
         if self.autoencoder is None:
@@ -290,9 +329,12 @@ class SIModel:
 
     def loss_fn(self, variables, key, x, t, y=None, mask=None,
                 train: bool = True):
+        """Flow-matching loss. Returns (loss, mutable_updates) — the same
+        contract as KarrasModel.loss_fn; updates carries running initial-
+        norm stats when ``initial_norm=True`` (empty dict otherwise)."""
         knoise, kdrop, kenc = jax.random.split(key, 3)
         x, y = self.encode(x, y, key=kenc)
-        x = self.initial_norm.normalize(x)
+        x, updates = self._norm_fwd(variables, x, train)
         noise = jax.random.normal(knoise, x.shape, x.dtype)
         t_b = bcast_right(t, x)
         sch = self.config.scheduler
@@ -304,7 +346,7 @@ class SIModel:
         loss = self._loss(v, target) * self._weighting_function(t_b)
         if mask is not None:
             loss = loss * (1 - jnp.broadcast_to(mask, loss.shape))
-        return jnp.mean(loss)
+        return jnp.mean(loss), updates
 
     # ------------------------------------------------------------------
     # integration (flowfield.py:704-795)
@@ -380,8 +422,8 @@ class SIModel:
                 ys = jnp.concatenate([ys, y_last[None]], axis=0)
         if return_history:
             hist = jnp.concatenate([x0[None], ys], axis=0)
-            return self.initial_norm.unnormalize(hist)
-        return self.initial_norm.unnormalize(x)
+            return self._norm_inv(variables, hist)
+        return self._norm_inv(variables, x)
 
     # ------------------------------------------------------------------
     # sampling (flowfield.py:503-544)
@@ -441,7 +483,7 @@ class SIModel:
         (flowfield.py:546-641). mask: 1 = known region of x_orig."""
         sch = self.config.scheduler
         soft = self.create_soft_mask(mask, mask_falloff)
-        x_orig = self.initial_norm.normalize(x_orig[None])
+        x_orig, _ = self._norm_fwd(variables, x_orig[None], train=False)
         knoise, key = jax.random.split(key)
         if orig_noise is None:
             x = jax.random.normal(knoise, (nsamples,) + x_orig.shape[1:])
@@ -471,7 +513,7 @@ class SIModel:
                         patch_j = a_j * x_orig + s_j * jax.random.normal(
                             jax.random.fold_in(k3, 1), x_orig.shape)
                         x = (1 - soft) * x + soft * patch_j
-        return self.initial_norm.unnormalize(x)
+        return self._norm_inv(variables, x)
 
 
 def _batched(y, nsamples: int) -> bool:

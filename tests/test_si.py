@@ -99,7 +99,7 @@ def test_loss_fn_and_training():
         def lf(p):
             kt, kl = jax.random.split(key)
             t = model.sample_timestep(kt, 64)
-            return model.loss_fn({"params": p}, kl, x, t)
+            return model.loss_fn({"params": p}, kl, x, t)[0]
 
         loss, grads = jax.value_and_grad(lf)(params)
         upd, opt_state2 = tx.update(grads, opt_state)
@@ -177,10 +177,52 @@ def test_si_compute_dtype_bf16():
         t = jnp.full((4,), 0.5)
         flow = model.get_flow_field(v, x, t)
         assert flow.dtype == jnp.float32  # output restored to f32
-        loss = model.loss_fn(v, jax.random.PRNGKey(1), x, t)
+        loss, _ = model.loss_fn(v, jax.random.PRNGKey(1), x, t)
         assert jnp.isfinite(loss)
         # matches f32 model to bf16 tolerance
         model32 = SIModel(TinyFlow(), cfg)
         flow32 = model32.get_flow_field(v, x, t)
         np.testing.assert_allclose(np.asarray(flow), np.asarray(flow32),
                                    rtol=0.05, atol=0.05)
+
+
+def test_running_stat_initial_norm():
+    """initial_norm=True (reference flowfield.py:233-286): training batches
+    update running mean/var under batch_stats/initial_norm; sampling
+    unnormalizes with the stored stats."""
+    from diffsci_tpu.models import MLPUncond
+
+    config = SIModelConfig(scheduler="linear", loss_metric="mse",
+                           initial_norm=True, sigma_data=0.5)
+    model = SIModel(MLPUncond(dim=2, hidden_dims=[16]), config)
+    v = model.init(KEY, (8, 2))
+    assert "initial_norm" in v["batch_stats"]
+    stats0 = v["batch_stats"]["initial_norm"]
+
+    x = jax.random.normal(KEY, (256, 2)) * 3.0 + 1.5
+    t = jnp.full((256,), 0.5)
+    loss, updates = model.loss_fn(v, jax.random.PRNGKey(1), x, t,
+                                  train=True)
+    assert jnp.isfinite(loss)
+    new_stats = updates["batch_stats"]["initial_norm"]
+    # stats moved toward the batch stats (mean≈1.5, var≈9)
+    assert float(new_stats["mean"][0]) != float(stats0["mean"][0])
+    assert float(new_stats["mean"][0]) > 0.05
+    assert float(new_stats["var"][0]) > 1.0
+
+    # eval mode: no updates
+    _, upd_eval = model.loss_fn(v, jax.random.PRNGKey(2), x, t, train=False)
+    assert upd_eval == {}
+
+    # normalize/unnormalize round-trip through the stored stats
+    v2 = dict(v)
+    v2["batch_stats"] = {"initial_norm": new_stats}
+    xn, _ = model._norm_fwd(v2, x, train=False)
+    xr = model._norm_inv(v2, xn)
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(x), rtol=1e-5,
+                               atol=1e-5)
+
+    # sampling executes end-to-end with the running norm engaged
+    out = model.sample(v2, jax.random.PRNGKey(3), 4, (2,), nsteps=5)
+    assert out.shape == (4, 2)
+    assert bool(jnp.all(jnp.isfinite(out)))
