@@ -1,5 +1,14 @@
-"""Benchmark harness: MNIST-scale EDM training throughput (imgs/sec/chip)
-and 18-NFE Heun sampling wall-clock on the available accelerator.
+"""Benchmark harness: EDM training throughput (imgs/sec/chip) and 18-NFE
+Heun sampling wall-clock on the available accelerator, across three
+configs that exercise different hardware paths:
+
+- MNIST 28x28 / 64ch (headline metric, continuity with round 1): the conv
+  path; attention is 49 tokens, negligible.
+- CIFAR 32x32 / 128ch: the reference's CIFAR-scale conv path
+  (reference scripts/training/train-edm-cifar10.py uses 128 base ch).
+- 3D volume 32^3 / 32ch, attention at the 16^3 bottleneck = 4096 tokens:
+  the attention path where the flash kernel engages; measured with both
+  backends so the kernel's training-step delta is recorded.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
@@ -8,17 +17,47 @@ The reference publishes no throughput numbers (BASELINE.md), so
 ``vs_baseline`` is reported against this build's first recorded round
 (1.0 until a prior record exists in bench_history.json).
 
-Uses synthetic MNIST-shaped data (zero-egress environment); throughput does
-not depend on pixel content. Model: PUNetG 64ch x [1,2,4] as in the
-reference MNIST scripts (scripts/testing fid configs use PUNetG 128ch;
-64ch keeps the benchmark under a minute while exercising the same kernels).
+Uses synthetic data (zero-egress environment); throughput does not depend
+on pixel content.
 """
 
 import json
 import pathlib
 import time
+from dataclasses import replace as dataclasses_replace
 
 import numpy as np
+
+
+def _train_throughput(net_config, batch, spatial, steps=50, warmup=5):
+    """Train-step throughput (items/sec/chip) for one PUNetG config."""
+    import jax
+    import jax.numpy as jnp
+    from diffsci_tpu.models import (KarrasModel, KarrasModelConfig, PUNetG,
+                                    create_train_state, make_train_step,
+                                    EMATracker)
+
+    net = PUNetG(net_config)
+    model = KarrasModel(net, KarrasModelConfig.from_edm(),
+                        compute_dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    tracker = EMATracker(ema_type="power", power_function_stds=[0.05])
+    shape = (batch,) + tuple(spatial) + (1,)
+    state, tx = create_train_state(model, key, shape, ema=tracker)
+    step_fn = make_train_step(model, tx, ema=tracker)
+    x = jax.random.normal(key, shape)
+    for _ in range(warmup):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, sub, x)
+    float(metrics["train_loss"])  # hard sync
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, sub, x)
+    float(metrics["train_loss"])
+    dt = time.perf_counter() - t0
+    import jax as _jax
+    return batch * steps / dt / _jax.device_count()
 
 
 def main():
@@ -83,6 +122,20 @@ def main():
         float(jnp.sum(out))
     sample_sec = (time.perf_counter() - t0) / REPEATS
 
+    # --- CIFAR-scale conv path (reference's 128ch config) ---
+    cifar_cfg = PUNetGConfig(model_channels=128, channel_expansion=[2, 2])
+    cifar_ips = _train_throughput(cifar_cfg, batch=128, spatial=(32, 32))
+
+    # --- 3D attention path: 16^3 bottleneck = 4096 tokens ---
+    vol_xla = PUNetGConfig(dimension=3, model_channels=32,
+                           channel_expansion=[2], num_heads=2,
+                           attn_backend="xla")
+    vol_flash = dataclasses_replace(vol_xla, attn_backend="flash")
+    vol_ips_xla = _train_throughput(vol_xla, batch=4, spatial=(32, 32, 32),
+                                    steps=20)
+    vol_ips_flash = _train_throughput(vol_flash, batch=4,
+                                      spatial=(32, 32, 32), steps=20)
+
     # --- vs_baseline: relative to the first recorded run of this build ---
     hist_path = pathlib.Path(__file__).parent / "bench_history.json"
     vs_baseline = 1.0
@@ -102,6 +155,10 @@ def main():
         "vs_baseline": round(float(vs_baseline), 3),
         "sample_18nfe_seconds_64imgs": round(float(sample_sec), 4),
         "train_loss_final": round(float(metrics["train_loss"]), 5),
+        "cifar32_128ch_imgs_per_sec_per_chip": round(float(cifar_ips), 2),
+        "vol3d_32c_attn4096_xla_items_per_sec": round(float(vol_ips_xla), 3),
+        "vol3d_32c_attn4096_flash_items_per_sec": round(
+            float(vol_ips_flash), 3),
         "batch": BATCH,
         "n_chips": n_chips,
         "device": str(jax.devices()[0]),

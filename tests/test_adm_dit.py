@@ -26,6 +26,7 @@ def small_config(**kw):
     return ADMConfig(**defaults)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("skip_type", ["concat", "add"])
 @pytest.mark.parametrize("decoder_type", [1, 2])
 def test_adm_2d_shapes(skip_type, decoder_type):
@@ -38,6 +39,7 @@ def test_adm_2d_shapes(skip_type, decoder_type):
     assert out.shape == (2, 16, 16, 1)
 
 
+@pytest.mark.slow
 def test_adm_3d_shapes():
     config = small_config(dimension=3)
     model = ADM(config)
@@ -79,6 +81,7 @@ def test_adm_config_roundtrip():
     assert ADMConfig.from_description(desc) == config
 
 
+@pytest.mark.slow
 def test_dit_shapes_and_patch_roundtrip():
     from diffsci_tpu.models.nets.dit import patchify, unpatchify
     x = jax.random.normal(KEY, (2, 16, 16, 3))
@@ -108,6 +111,7 @@ def test_dit_positions_break_translation_symmetry():
     assert not jnp.allclose(out2, jnp.roll(out1, 4, axis=1), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_adm_magnitude_preserving():
     """ADM-MP coverage (reference admmp.py:8-1114 is the mp
     re-implementation; here it is the convolution_type='mp' configuration

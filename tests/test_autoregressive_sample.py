@@ -1,5 +1,6 @@
 """Latent autoregressive rollout tests."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,7 @@ class CondNet(nn.Module):
         return nn.Conv(1, (3, 3), padding="SAME")(nn.silu(h))
 
 
+@pytest.mark.slow
 def test_autoregressive_rollout_shapes():
     base = KarrasModelConfig.from_edm(loss_metric="mse")
     config = EnsembleKarrasModelConfig.from_karras_config(base)
@@ -53,6 +55,7 @@ def test_autoregressive_rollout_shapes():
     np.testing.assert_allclose(y["y"], 0.0)
 
 
+@pytest.mark.slow
 def test_autoregressive_rollout_batched():
     base = KarrasModelConfig.from_edm(loss_metric="mse")
     config = EnsembleKarrasModelConfig.from_karras_config(base)

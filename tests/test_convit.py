@@ -36,6 +36,7 @@ def test_rope_preserves_norm():
                                jnp.linalg.norm(x, axis=-1), rtol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("linear", [False, True])
 def test_convit_2d(linear):
     cfg = small_cfg(linear_attention=linear)
@@ -48,6 +49,7 @@ def test_convit_2d(linear):
     assert jnp.all(jnp.isfinite(out))
 
 
+@pytest.mark.slow
 def test_convit_3d():
     cfg = small_cfg(num_pos_dims=3, num_layers=1)
     model = ConVit(cfg)

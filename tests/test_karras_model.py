@@ -171,6 +171,7 @@ def test_config_tag_roundtrip():
         assert c2.tag == c.tag
 
 
+@pytest.mark.slow
 def test_conditional_cfg_training_and_guided_sampling():
     """Class-conditional training with ConditionDrop + CFG sampling
     (reference tests/test_mnist_lightning_karras.py:101-169 analogue):

@@ -1,6 +1,7 @@
 """Pallas kernel parity tests (interpret mode on CPU; the real kernel runs
 on TPU via the same code path)."""
 
+import pytest
 import math
 
 import numpy as np
@@ -109,6 +110,7 @@ def test_flash_attention_bf16():
                                rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_attention_module_flash_backend_trains():
     """MultiHeadAttention(backend='flash') end-to-end: forward parity with
     the xla backend and finite grads through the module."""
@@ -157,6 +159,7 @@ def _ref_norm_silu(x, w, b, kind, eps=1e-5):
     return jax.nn.silu(n * w + b)
 
 
+@pytest.mark.slow
 def test_fused_norm_silu_forward_parity():
     key = jax.random.PRNGKey(3)
     for kind in ("ln", "rms"):
@@ -171,6 +174,7 @@ def test_fused_norm_silu_forward_parity():
                                        err_msg=f"{kind} {shape}")
 
 
+@pytest.mark.slow
 def test_fused_norm_silu_grad_parity():
     key = jax.random.PRNGKey(6)
     shape = (2, 6, 6, 64)
@@ -226,6 +230,7 @@ def test_groupnorm_module_fused_path_matches_plain(monkeypatch):
                                    rtol=2e-5, atol=2e-6, err_msg=kind)
 
 
+@pytest.mark.slow
 def test_resnet_block_unchanged_output():
     """ResnetBlockC with fuse_silu norms (pure-JAX fallback on CPU) must
     match the reference-parity behavior pinned elsewhere; smoke the shape
@@ -243,3 +248,84 @@ def test_resnet_block_unchanged_output():
         return jnp.sum(block.apply(vs, x, te) ** 2)
     g = jax.grad(loss)(vs)
     assert all(jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree.leaves(g))
+
+
+# ---------------------------------------------------------------------------
+# fused EDM preconditioning (kernels/fused_precondition.py)
+# ---------------------------------------------------------------------------
+from diffsci_tpu.kernels import fused_precondition as fp  # noqa: E402
+
+
+@pytest.mark.slow
+def test_fused_axby_forward_parity():
+    for shape in ((4, 8, 8, 4), (2, 16, 16), (3, 5, 5, 5, 8)):
+        x = jax.random.normal(jax.random.PRNGKey(0), shape)
+        f = jax.random.normal(jax.random.PRNGKey(1), shape)
+        a = jax.random.normal(jax.random.PRNGKey(2), (shape[0],))
+        b = jax.random.normal(jax.random.PRNGKey(3), (shape[0],))
+        out = fp.fused_axby(x, f, a, b, True)
+        ref = fp._xla_axby(x, f, a, b)
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6,
+                                   err_msg=str(shape))
+
+
+def test_fused_axby_grad_parity():
+    shape = (2, 8, 8, 4)
+    x = jax.random.normal(jax.random.PRNGKey(4), shape)
+    f = jax.random.normal(jax.random.PRNGKey(5), shape)
+    a = jnp.array([0.5, -1.25])
+    b = jnp.array([2.0, 0.75])
+
+    def loss_k(x, f, a, b):
+        return jnp.sum(jnp.tanh(fp.fused_axby(x, f, a, b, True)))
+
+    def loss_r(x, f, a, b):
+        return jnp.sum(jnp.tanh(fp._xla_axby(x, f, a, b)))
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(x, f, a, b)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(x, f, a, b)
+    for got, ref, nm in zip(gk, gr, ("x", "f", "a", "b")):
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"d{nm}")
+
+
+def test_euler_update_matches_unfused():
+    """Fused denoise+Euler == explicit D then x + dt*(x-D)/t."""
+    shape = (3, 8, 8, 2)
+    x = jax.random.normal(jax.random.PRNGKey(6), shape)
+    f = jax.random.normal(jax.random.PRNGKey(7), shape)
+    c_skip = jnp.array([0.3, 0.5, 0.9])
+    c_out = jnp.array([1.2, 0.4, -0.6])
+    t = jnp.array([10.0, 5.0, 1.0])
+    t_next = jnp.array([7.0, 3.0, 0.5])
+
+    out = fp.euler_update(x, f, c_skip, c_out, t, t_next, True)
+
+    def br(v):
+        return v.reshape(v.shape + (1,) * (x.ndim - 1))
+    D = br(c_skip) * x + br(c_out) * f
+    ref = x + br((t_next - t) / t) * (x - D)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_karras_model_fused_precondition_parity():
+    """KarrasModel(fused_precondition=True) denoiser == plain path."""
+    from diffsci_tpu.models import KarrasModel, KarrasModelConfig
+    from diffsci_tpu.models.nets.mlp import MLPUncond
+
+    net = MLPUncond(dim=4, hidden_dims=(32,))
+    plain = KarrasModel(net, KarrasModelConfig.from_edm())
+    fused = KarrasModel(net, KarrasModelConfig.from_edm(),
+                        fused_precondition=True)
+    x = jax.random.normal(jax.random.PRNGKey(8), (4, 4))
+    sigma = jnp.array([0.1, 1.0, 5.0, 80.0])
+    vs = plain.init(jax.random.PRNGKey(0), (4, 4))
+
+    d_plain, _ = plain.get_denoiser(vs, x, sigma)
+    fp.INTERPRET = True
+    try:
+        d_fused, _ = fused.get_denoiser(vs, x, sigma)
+    finally:
+        fp.INTERPRET = False
+    np.testing.assert_allclose(np.asarray(d_fused), np.asarray(d_plain),
+                               rtol=1e-5, atol=1e-6)

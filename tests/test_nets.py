@@ -56,6 +56,7 @@ def test_group_norms(cls, sub_mean, spatial):
         np.testing.assert_allclose(xg.mean(axis=axes), 0.0, atol=0.05)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ndim", [2, 3])
 def test_down_up_samplers(ndim):
     sp = (8,) * ndim
@@ -99,6 +100,7 @@ def test_resnet_block_c_shapes():
     assert out3.shape == x.shape
 
 
+@pytest.mark.slow
 def test_resnet_block_3d_and_mp():
     x = jax.random.normal(KEY, (2, 4, 4, 4, 8))
     te = jax.random.normal(KEY, (2, 8))
@@ -126,6 +128,7 @@ def test_condition_drop():
 # ---------------------------------------------------------------------------
 # attention
 # ---------------------------------------------------------------------------
+@pytest.mark.slow
 @pytest.mark.parametrize("ndim", [2, 3])
 @pytest.mark.parametrize("attn_type", ["default", "cosine"])
 def test_spatial_attention_shapes(ndim, attn_type):
@@ -191,6 +194,7 @@ def test_punetg_2d_shapes():
     assert out.shape == (2, 16, 16, 1)
 
 
+@pytest.mark.slow
 def test_punetg_3d_shapes():
     config = nets.PUNetGConfig(model_channels=4, channel_expansion=[2],
                                dimension=3,

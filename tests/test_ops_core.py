@@ -253,6 +253,7 @@ def test_inpaint_keeps_known_region():
     np.testing.assert_allclose(out[:, 2:], 0.0, atol=5e-2)
 
 
+@pytest.mark.slow
 def test_repaint_shapes_and_known_region():
     dataset = data.ZeroDataset(num_samples=4, shape=[4])
     sched = ops.EDMScheduler()

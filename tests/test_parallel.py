@@ -158,6 +158,7 @@ def test_dp2_tp4_deeper_tensor_split():
                                    rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dp_sp_spatial_sharded_train_step():
     """dp x spatial: batch sharded on both batch and H axes; GSPMD inserts
     the conv halo exchanges automatically and the step matches

@@ -14,6 +14,7 @@ KEY = jax.random.PRNGKey(0)
 # ---------------------------------------------------------------------------
 # VAENet + patched conv
 # ---------------------------------------------------------------------------
+@pytest.mark.slow
 def test_vaenet_roundtrip_2d():
     from diffsci_tpu.models.nets import VAENet, VAENetConfig
     cfg = VAENetConfig(dimension=2, z_channels=2, z_dim=2, ch=8,
@@ -30,6 +31,7 @@ def test_vaenet_roundtrip_2d():
     assert z.shape == (2, 8, 8, 2)
 
 
+@pytest.mark.slow
 def test_vaenet_minimal_rf_and_1d():
     from diffsci_tpu.models.nets import VAENet, VAENetConfig
     cfg = VAENetConfig(dimension=1, z_channels=2, z_dim=2, ch=8,
@@ -134,6 +136,7 @@ def test_punetg_deterministic():
     assert not any("time_projection" in p for p in paths)
 
 
+@pytest.mark.slow
 def test_punetv_slice_embeddings():
     from diffsci_tpu.models.nets import PUNetV, PUNetVConfig
     cfg = PUNetVConfig(model_channels=8, channel_expansion=[2],
@@ -408,6 +411,7 @@ def test_edge_preprocessor_features():
         EdgeDetectionPreprocessor(processors="canny")
 
 
+@pytest.mark.slow
 def test_vae_edge_loss_preprocessor():
     """VAE training with loss_preprocessor='edges' (vaemodule.py:209-217)."""
     from diffsci_tpu.models.nets.vae import AutoencoderKL, DDConfig

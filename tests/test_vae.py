@@ -38,6 +38,7 @@ def test_autoencoder_kl_shapes_2d():
     assert dec.shape == x.shape
 
 
+@pytest.mark.slow
 def test_autoencoder_kl_shapes_3d():
     ae = AutoencoderKL(small_dd(dimension=3, has_mid_attn=False),
                        embed_dim=2)
@@ -80,6 +81,7 @@ def test_total_variation():
     np.testing.assert_allclose(total_variation(x2), 2.0)
 
 
+@pytest.mark.slow
 def test_vae_train_step_runs_and_learns():
     config = VAEModelConfig(kl_weight=1e-4, reconstruction_loss="mse",
                             adversarial_weight=0.0)
@@ -97,6 +99,7 @@ def test_vae_train_step_runs_and_learns():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_vae_adversarial_training():
     config = VAEModelConfig(kl_weight=1e-4, adversarial_weight=0.1,
                             reconstruction_loss="mse",
@@ -153,6 +156,7 @@ def test_kl_annealing():
     np.testing.assert_allclose(config.kl_weight, 1e-3)
 
 
+@pytest.mark.slow
 def test_latent_diffusion_wiring():
     """KarrasModel with a BoundAutoencoder: loss + sampling run through the
     latent space (karrasmodule.py:1192-1234 analogue)."""

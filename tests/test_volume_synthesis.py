@@ -99,6 +99,7 @@ def test_sequential_z_validation():
         sample_sequential_z(stub, None, KEY, 2, (4, 4, 8, 1), 8)  # >= dz
 
 
+@pytest.mark.slow
 def test_sequential_with_real_flow_model():
     """End-to-end: tiny SIModel, 2 blocks with real sampling/inpainting."""
     import flax.linen as nn
@@ -151,6 +152,7 @@ def test_matern_grid_sample():
 # ---------------------------------------------------------------------------
 # embedders
 # ---------------------------------------------------------------------------
+@pytest.mark.slow
 def test_embedders():
     from diffsci_tpu.models.nets.embedders import (
         TwoPointCorrelationEmbedder, TwoPointCorrelationTransformer,
