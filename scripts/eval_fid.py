@@ -6,11 +6,15 @@ sampled a KarrasModule checkpoint and scored FID via torchmetrics) with the
 in-house metrics stack: sample the model, embed real and generated images
 with a feature network, and compute FID (+ KID) in feature space.
 
-Feature network: a MinimalResNet classifier checkpoint if provided
-(``--classifier``), else raw-pixel FID (features = flattened images) — the
-deterministic fallback for zero-egress environments without a pretrained
-Inception. Pixel-space FID is NOT comparable to Inception-FID numbers, but
-is a consistent relative metric across checkpoints of the same run.
+Feature network, in priority order:
+- ``--inception-weights path/to/pt_inception-2015-12-05.pth``: the
+  pytorch-fid InceptionV3 (metrics_inception.py) — produces FID numbers
+  comparable with the reference's published scores.
+- ``--classifier``: a MinimalResNet classifier checkpoint.
+- neither: raw-pixel FID (features = flattened images) — the deterministic
+  fallback for zero-egress environments without pretrained weights. NOT
+  comparable to Inception-FID numbers, but a consistent relative metric
+  across checkpoints of the same run.
 
 Usage:
     python scripts/eval_fid.py --ckpt runs/mnist-edm/ckpt --data mnist.npz
@@ -64,6 +68,9 @@ def main():
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--classifier", default=None,
                     help="MinimalResNet checkpoint for feature-space FID")
+    ap.add_argument("--inception-weights", default=None,
+                    help="pt_inception-2015-12-05.pth for reference-"
+                         "comparable Inception-FID")
     ap.add_argument("--stochastic", action="store_true")
     ap.add_argument("--gamma", type=float, default=0.0,
                     help="Langevin churn strength (stochasticity sweep)")
@@ -124,7 +131,15 @@ def main():
     gen = np.concatenate(samples)[:args.nsamples]
     real = load_real(args.data, args.nsamples)
 
-    if args.classifier:
+    if args.inception_weights:
+        from diffsci_tpu import metrics_inception as mi
+        variables_inc = mi.load_weights(args.inception_weights)
+        f_real = mi.inception_fid_features(variables_inc,
+                                           jnp.asarray(real) * 0.5 + 0.5)
+        f_gen = mi.inception_fid_features(variables_inc,
+                                          jnp.asarray(gen) * 0.5 + 0.5)
+        space = "inception_pool3"
+    elif args.classifier:
         # classifier ckpt dir: description.json = MinimalResNet kwargs,
         # state = its variables (saved with save_checkpoint)
         from diffsci_tpu.models.nets.classifiers import MinimalResNet

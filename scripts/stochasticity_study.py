@@ -1,0 +1,114 @@
+"""End-to-end stochasticity study: reproduce the FID-vs-gamma shape.
+
+The reference's stochasticity paper finds that for an *early-training*
+diffusion model, sampling stochasticity improves FID: the FID(gamma) curve
+drops from the near-ODE regime (gamma ~ 0) to a minimum at moderate
+stochasticity before degrading at extreme churn (reference
+stochasticity_paper/scripts/
+test-diffusion-cifar10karras-colormap-parallel.py:1-44, which sweeps
+(s_min, s_max) over a 6-GPU process pool; here each gamma point is one
+jitted sampler run, batched on the accelerator).
+
+Zero-egress environment: trains on the in-house ShapesDataset
+(paper_replica mode) instead of CIFAR-10 and scores with pixel-feature
+FID (metrics.fid) — the curve *shape* is the reproduction target, not the
+absolute numbers, which are honestly not Inception-FID (see
+scripts/eval_fid.py).
+
+Writes docs/artifacts/stochasticity_sweep.json with the gamma grid, FID
+per gamma, and a `shape_ok` verdict:
+    FID(best gamma > gamma_min) < FID(gamma_min)  (stochasticity helps).
+
+Usage:
+    python scripts/stochasticity_study.py [--steps 1500] [--nsamples 512]
+"""
+
+import argparse
+import json
+import pathlib
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1500,
+                    help="training steps (early-training regime)")
+    ap.add_argument("--size", type=int, default=32)
+    ap.add_argument("--num-data", type=int, default=4096)
+    ap.add_argument("--nsamples", type=int, default=512)
+    ap.add_argument("--nfe", type=int, default=100)
+    ap.add_argument("--gammas", type=float, nargs="+",
+                    default=[0.01, 0.1, 0.3, 0.5, 1.0, 2.0, 3.0, 5.0, 8.0])
+    ap.add_argument("--out",
+                    default="docs/artifacts/stochasticity_sweep.json")
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+    from diffsci_tpu import ops
+    from diffsci_tpu.data import ShapesDataset
+    from diffsci_tpu.models import (EMATracker, KarrasModel,
+                                    KarrasModelConfig, PUNetG, PUNetGConfig)
+    from diffsci_tpu.trainer import fit_karras
+    from diffsci_tpu.metrics import fid
+
+    xs = ShapesDataset(args.num_data, size=args.size,
+                       mode="paper_replica").generate()
+    held_out = ShapesDataset(args.nsamples, size=args.size,
+                             mode="paper_replica", seed=123).generate()
+    print(f"data {xs.shape}, devices {jax.devices()}")
+
+    net = PUNetG(PUNetGConfig(model_channels=32, channel_expansion=[2, 4]))
+    model = KarrasModel(net, KarrasModelConfig.from_edm())
+    ema = EMATracker(ema_type="power", power_function_stds=[0.05])
+    state, trainer = fit_karras(
+        model, xs, batch_size=128,
+        max_epochs=max(1, args.steps // max(1, len(xs) // 128)),
+        max_steps=args.steps, ema=ema, val_fraction=0.05,
+        log_dir="runs/stochasticity_study")
+    print(f"trained to step {int(state.step)}")
+    variables = state.ema_variables(ema)
+
+    def features(x):
+        return np.asarray(x, np.float64).reshape(x.shape[0], -1)
+
+    real_f = features(held_out)
+    results = []
+    key = jax.random.PRNGKey(42)
+    for gamma in args.gammas:
+        model.config.noisescheduler = ops.EDMScheduler(langevin_const=gamma)
+        model._jit_cache.clear()
+        key, sub = jax.random.split(key)
+        samples = model.sample(
+            variables, sub, args.nsamples,
+            (args.size, args.size, 1), nsteps=args.nfe,
+            stochastic=True, maximum_batch_size=256)
+        score = float(fid(real_f, features(samples)))
+        results.append({"gamma": gamma, "fid": score})
+        print(f"gamma={gamma}: FID={score:.4f}")
+
+    fids = [r["fid"] for r in results]
+    best_i = int(np.argmin(fids))
+    shape_ok = bool(best_i > 0 and fids[best_i] < fids[0])
+    artifact = {
+        "dataset": f"shapes_paper_replica_{args.size}",
+        "train_steps": int(state.step),
+        "nfe": args.nfe,
+        "nsamples": args.nsamples,
+        "feature_space": "pixel (NOT Inception-comparable; shape only)",
+        "sweep": results,
+        "best_gamma": args.gammas[best_i],
+        "fid_at_min_gamma": fids[0],
+        "fid_at_best_gamma": fids[best_i],
+        "shape_ok": shape_ok,
+        "finding": ("stochasticity improves early-training FID"
+                    if shape_ok else
+                    "shape NOT reproduced in this run"),
+    }
+    out = pathlib.Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(artifact, indent=2))
+    print(f"wrote {out}; shape_ok={shape_ok}")
+
+
+if __name__ == "__main__":
+    main()
