@@ -13,12 +13,18 @@ so ONE Pallas kernel serves both (reference preconditioning math:
 diffsci/models/karras/preconditioners.py:30-53 applied in
 karrasmodule.py's denoiser + integrators.py:29-35).
 
-Honest scope note: inside a single jit, XLA already fuses elementwise
-chains, so this kernel targets the cases where the chain is broken —
-across custom_vjp/scan boundaries or when the combine is the only
-consumer of a remat'd activation. It is opt-in (``INTERPRET``/TPU gated,
-XLA fallback otherwise) and its measured sampler delta is recorded in
-bench_history.json rather than assumed.
+MEASURED OUTCOME (TPU v5e, 64-batch 18-NFE PUNetG sampler, recorded in
+bench_history.json): the naive broadcast combine leaves ~1.5-1.7x on the
+table for C=1 channels-last images, because XLA lays the [B,H,W,1]
+elementwise ops out with the unit channel dim padded to 128 lanes.
+Working on a flat [B, N] view fixes that: at N not divisible by 128 the
+flat *XLA* fallback implementation already captures the win (125.7 ->
+72.3 ms at 28x28 — XLA keeps the flat layout), while at 128-divisible N
+XLA folds the reshape back into the padded layout and the win needs the
+Pallas kernel (123.1 -> 82.6 ms at 32x32; the flat XLA impl measures
+124.7 ms there). The dispatch below therefore uses the kernel whenever
+the [rows, 128] view tiles, and the flat XLA path otherwise — both arms
+beat the naive combine.
 """
 
 from __future__ import annotations
@@ -47,42 +53,50 @@ def _xla_axby(x, f, a, b):
             + bx * f.astype(jnp.float32)).astype(x.dtype)
 
 
-def _pick_block(n: int) -> int | None:
-    """Largest multiple-of-128 divisor of n, capped at _MAX_BLOCK."""
+def _pick_rows(n: int) -> int | None:
+    """View the flat per-item vector as [rows, 128] and pick a row-block
+    that satisfies TPU tiling: the whole `rows` (block dim == array dim is
+    always legal) when it fits VMEM, else the largest multiple-of-8
+    divisor under the cap. None -> XLA fallback."""
     if n % 128 != 0:
         return None
-    bn = n
-    while bn > _MAX_BLOCK:
-        if bn % 2 != 0:
-            return None
-        bn //= 2
-    return bn if bn % 128 == 0 else None
+    rows = n // 128
+    max_rows = _MAX_BLOCK // 128
+    if rows <= max_rows:
+        return rows
+    best = None
+    for r in range(8, max_rows + 1, 8):
+        if rows % r == 0:
+            best = r
+    return best
 
 
 def _axby_kernel(a_ref, b_ref, x_ref, f_ref, o_ref):
-    a = a_ref[0, 0]
-    b = b_ref[0, 0]
+    # a/b: whole [B] arrays resident in SMEM (tiny); index by batch
+    # grid position. Data blocks are [1, R, 128] slices of the
+    # [B, rows, 128] view — trailing (R, 128) satisfies TPU tiling.
+    i = pl.program_id(0)
+    a = a_ref[i]
+    b = b_ref[i]
     o_ref[:] = (a * x_ref[:].astype(jnp.float32)
                 + b * f_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-def _axby_pallas(xf, ff, a2, b2, block_n, interpret):
-    B, N = xf.shape
+def _axby_pallas(xf, ff, a1, b1, block_r, interpret):
+    B, rows, _ = xf.shape
     return pl.pallas_call(
         _axby_kernel,
-        grid=(B, N // block_n),
+        grid=(B, rows // block_r),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, block_n), lambda i, j: (i, j)),
-            pl.BlockSpec((1, block_n), lambda i, j: (i, j)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_r, 128), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_r, 128), lambda i, j: (i, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_n), lambda i, j: (i, j)),
+        out_specs=pl.BlockSpec((1, block_r, 128), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct(xf.shape, xf.dtype),
         interpret=interpret,
-    )(a2, b2, xf, ff)
+    )(a1, b1, xf, ff)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -101,15 +115,15 @@ def _axby_impl(x, f, a, b, interpret):
     n = 1
     for s in x.shape[1:]:
         n *= s
-    block_n = _pick_block(n) if (on_tpu or interpret) else None
-    if block_n is None:
+    block_r = _pick_rows(n) if (on_tpu or interpret) else None
+    if block_r is None:
         return _xla_axby(x, f, a, b)
     B = x.shape[0]
-    xf = x.reshape(B, n)
-    ff = f.reshape(B, n)
-    a2 = a.reshape(B, 1).astype(jnp.float32)
-    b2 = b.reshape(B, 1).astype(jnp.float32)
-    out = _axby_pallas(xf, ff, a2, b2, block_n, interpret)
+    xf = x.reshape(B, n // 128, 128)
+    ff = f.reshape(B, n // 128, 128)
+    a1 = a.reshape(B).astype(jnp.float32)
+    b1 = b.reshape(B).astype(jnp.float32)
+    out = _axby_pallas(xf, ff, a1, b1, block_r, interpret)
     return out.reshape(x.shape)
 
 

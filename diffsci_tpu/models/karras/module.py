@@ -229,15 +229,17 @@ class KarrasModel:
         and the loss stay float32.
 
         ``fused_precondition``: route the denoiser combine
-        D = c_skip·x + c_out·F through the fused Pallas kernel
-        (kernels/fused_precondition.py) instead of XLA elementwise ops.
-        TPU v5e measurements: 1.66x faster 18-NFE sampling (XLA pads
-        channels-last C=1 layouts to 128 lanes; the kernel works on a flat
-        [B, N] view), but 6.5% slower training (the custom-VJP call is an
-        XLA fusion barrier in the backward). Hence the default "sample":
-        fused in no-grad paths (train=False), plain XLA in the training
-        loss. True forces it everywhere, False disables. Falls back to
-        XLA off-TPU either way."""
+        D = c_skip·x + c_out·F through the fused flat-view primitive
+        (kernels/fused_precondition.py) instead of naive broadcast ops.
+        TPU v5e measurements: 1.5-1.7x faster 18-NFE sampling (XLA pads
+        channels-last C=1 layouts to 128 lanes; the primitive works on a
+        flat [B, N] view, via a Pallas kernel when N tiles as [rows, 128]
+        and a flat XLA fallback otherwise — see the kernel module
+        docstring for the measured split), but ~6.5% slower training
+        (the custom-VJP call is an XLA fusion barrier in the backward).
+        Hence the default "sample": fused in no-grad paths (train=False),
+        plain XLA in the training loss. True forces it everywhere, False
+        disables. Falls back to XLA off-TPU either way."""
         self.model = model
         self.config = config
         self.compute_dtype = compute_dtype
