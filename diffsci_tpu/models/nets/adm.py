@@ -61,6 +61,7 @@ class ADMConfig:
     attn_residual: bool = True
     attn_heads: int = 1
     attn_type: str = "default"
+    attn_backend: str = "xla"   # 'xla' | 'flash' (Pallas, large T)
     decoder_type: int = 1
 
     def __post_init__(self):
@@ -116,6 +117,7 @@ class ADMBlock(nn.Module):
     attn_type: str = "default"
     attn_heads: int = 1
     attn_residual: bool = True
+    attn_backend: str = "xla"
     skip_integration_type: str = "concat"
 
     def _resample(self, x):
@@ -171,7 +173,8 @@ class ADMBlock(nn.Module):
         if self.has_attn:
             h = SpatialSelfAttention(num_heads=self.attn_heads,
                                      attn_type=self.attn_type,
-                                     attn_residual=self.attn_residual)(h)
+                                     attn_residual=self.attn_residual,
+                                     backend=self.attn_backend)(h)
         return h
 
 
@@ -219,6 +222,7 @@ class ADM(nn.Module):
             attn_type=cfg.attn_type,
             attn_heads=cfg.attn_heads,
             attn_residual=cfg.attn_residual,
+            attn_backend=cfg.attn_backend,
             skip_integration_type=cfg.skip_integration_type,
             name=name)
 

@@ -72,6 +72,7 @@ class DiTBlock(nn.Module):
     nembed: int
     nheads: int
     mlp_factor: int = 4
+    attn_backend: str = "xla"   # 'xla' | 'flash' (Pallas, large T)
 
     @nn.compact
     def __call__(self, x, c):
@@ -81,7 +82,12 @@ class DiTBlock(nn.Module):
 
         h = nn.LayerNorm()(x)
         h = adaln_modulate(h, shift_msa, scale_msa)
-        h = nn.MultiHeadDotProductAttention(num_heads=self.nheads)(h, h)
+        if self.attn_backend == "flash":
+            from diffsci_tpu.models.nets.attention import MultiHeadAttention
+            h = MultiHeadAttention(num_heads=self.nheads, use_bias=True,
+                                   backend="flash")(h)
+        else:
+            h = nn.MultiHeadDotProductAttention(num_heads=self.nheads)(h, h)
         x = x + gate_msa[:, None] * h
 
         h = nn.LayerNorm()(x)
@@ -102,6 +108,7 @@ class DiffusionTransformer(nn.Module):
     nblocks: int = 6
     patch_size: int = 4
     nchannels: int = 1
+    attn_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x, t=None, y=None, train: bool = False):
@@ -125,6 +132,7 @@ class DiffusionTransformer(nn.Module):
         tokens = tokens + jnp.asarray(pos, tokens.dtype)[None]
         for i in range(self.nblocks):
             tokens = DiTBlock(self.nembed, self.nheads, self.mlp_factor,
+                              attn_backend=self.attn_backend,
                               name=f"block_{i}")(tokens, te)
         tokens = nn.Dense(C * self.patch_size ** 2)(tokens)
         return unpatchify(tokens, self.patch_size, H, W, C)
@@ -132,4 +140,5 @@ class DiffusionTransformer(nn.Module):
     def export_description(self) -> dict[str, Any]:
         return dict(nembed=self.nembed, nheads=self.nheads,
                     mlp_factor=self.mlp_factor, nblocks=self.nblocks,
-                    patch_size=self.patch_size, nchannels=self.nchannels)
+                    patch_size=self.patch_size, nchannels=self.nchannels,
+                    attn_backend=self.attn_backend)

@@ -1,5 +1,8 @@
 """ADM and DiT shape/behaviour tests (mirrors reference tests/test_adm.py)."""
 
+import dataclasses
+
+import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -129,3 +132,44 @@ def test_adm_magnitude_preserving():
     paths = [jtu.keystr(p) for p, _ in
              jtu.tree_leaves_with_path(variables["params"])]
     assert any("w_mp" in p for p in paths)
+
+
+def test_adm_dit_flash_backend_parity():
+    """attn_backend='flash' produces the same outputs (interpret-mode
+    kernel on CPU) and is part of both configs' export round-trip."""
+    import diffsci_tpu.kernels.flash_attention as fa_mod
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 1))
+    t = jnp.ones((1,))
+
+    cfg_x = ADMConfig(model_channels=8, channel_expansion=[2],
+                      attn_heads=2)
+    cfg_f = dataclasses.replace(cfg_x, attn_backend="flash")
+    m_x, m_f = ADM(cfg_x), ADM(cfg_f)
+    vs = m_x.init(jax.random.PRNGKey(1), x, t)
+    y_ref = m_x.apply(vs, x, t)
+    fa_mod.INTERPRET = True
+    old_mt = fa_mod.DEFAULT_MIN_TOKENS
+    fa_mod.DEFAULT_MIN_TOKENS = 1  # engage at the tiny test size
+    try:
+        y_flash = m_f.apply(vs, x, t)
+    finally:
+        fa_mod.INTERPRET = False
+        fa_mod.DEFAULT_MIN_TOKENS = old_mt
+    np.testing.assert_allclose(np.asarray(y_flash), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-5)
+
+    # DiT: flash backend swaps the attention parameterization, so check
+    # shape/finite + description round-trip rather than weight parity
+    dit = DiffusionTransformer(nembed=32, nheads=2, nblocks=1,
+                               patch_size=4, attn_backend="flash")
+    fa_mod.INTERPRET = True
+    fa_mod.DEFAULT_MIN_TOKENS = 1
+    try:
+        v = dit.init(jax.random.PRNGKey(2), x, t)
+        out = dit.apply(v, x, t)
+    finally:
+        fa_mod.INTERPRET = False
+        fa_mod.DEFAULT_MIN_TOKENS = old_mt
+    assert out.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+    assert dit.export_description()["attn_backend"] == "flash"
