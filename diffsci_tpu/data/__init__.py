@@ -1,6 +1,7 @@
 """Analytic toy datasets (the reference's diffsci/data/)."""
 
-from diffsci_tpu.data.loading import ArrayDataLoader, train_val_split
+from diffsci_tpu.data.loading import (ArrayDataLoader, train_val_split,
+                                      prefetch_to_device)
 from diffsci_tpu.data.toy_datasets import (
     AnalyticalDataset,
     SinglePointDataset,
@@ -16,7 +17,7 @@ from diffsci_tpu.data.toy_datasets import (
 )
 
 __all__ = [
-    "ArrayDataLoader", "train_val_split",
+    "ArrayDataLoader", "train_val_split", "prefetch_to_device",
     "AnalyticalDataset", "SinglePointDataset", "SingleGaussianDataset",
     "ZeroDataset", "ZeroMeanGaussianDataset", "MixtureOfPointsDataset",
     "MixtureOfGaussiansDataset", "DiagonalGaussianDataset",

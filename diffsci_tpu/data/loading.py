@@ -67,3 +67,39 @@ def train_val_split(dataset: Any, val_fraction: float = 0.1, seed: int = 0):
     val_idx, train_idx = order[:n_val], order[n_val:]
     take = lambda idx: jax.tree.map(lambda a: a[idx], dataset)  # noqa: E731
     return take(train_idx), take(val_idx)
+
+
+def prefetch_to_device(iterator: Iterator[Any], size: int = 2,
+                       sharding=None) -> Iterator[Any]:
+    """Double-buffered host->device prefetch.
+
+    Eagerly moves up to ``size`` upcoming batches onto the accelerator
+    (optionally with a ``jax.sharding.Sharding`` for multi-device
+    placement) so the host transfer of batch k+1 overlaps the device
+    compute of batch k — the JAX analogue of torch DataLoader's
+    pin_memory+non_blocking path the reference relies on implicitly.
+    """
+    import collections
+
+    queue: collections.deque = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            queue.append(jax.tree.map(
+                lambda a: jax.device_put(a, sharding), batch))
+        else:
+            queue.append(jax.tree.map(jax.device_put, batch))
+
+    it = iter(iterator)
+    for _ in range(size):
+        try:
+            put(next(it))
+        except StopIteration:
+            break
+    while queue:
+        out = queue.popleft()
+        try:
+            put(next(it))
+        except StopIteration:
+            pass
+        yield out

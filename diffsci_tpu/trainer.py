@@ -70,7 +70,8 @@ class Trainer:
                  log_dir: str | pathlib.Path | None = None,
                  select_batch: Callable | None = None,
                  profile_dir: str | pathlib.Path | None = None,
-                 profile_steps: tuple[int, int] | None = None):
+                 profile_steps: tuple[int, int] | None = None,
+                 prefetch: int = 2):
         self.max_epochs = max_epochs
         self.max_steps = max_steps
         self.mesh = mesh
@@ -89,11 +90,45 @@ class Trainer:
         self.select_batch = select_batch or (lambda b: (b, None, None))
         self.profile_dir = profile_dir
         self.profile_steps = profile_steps
+        # double-buffered host->device prefetch depth (0 disables): the
+        # transfer of batch k+1 overlaps the step on batch k
+        self.prefetch = prefetch
 
     def _place(self, tree):
         if self.mesh is None:
-            return tree
+            # async host->device copy now (instead of implicitly at the
+            # step call) so prefetched batches actually overlap compute
+            return jax.tree.map(jax.device_put, tree)
         return shard_batch(tree, self.mesh)
+
+    def _batches(self, loader):
+        """Yield placed (x, y, mask) tuples, prefetching ahead so the
+        host->device transfer overlaps device compute."""
+        def placed():
+            for batch in loader:
+                x, y, mask = self.select_batch(batch)
+                x = self._place(x)
+                y = self._place(y) if y is not None else None
+                mask = self._place(mask) if mask is not None else None
+                yield x, y, mask
+        if not self.prefetch:
+            yield from placed()
+            return
+        import collections
+        queue = collections.deque()
+        it = placed()
+        for _ in range(self.prefetch):
+            try:
+                queue.append(next(it))
+            except StopIteration:
+                break
+        while queue:
+            out = queue.popleft()
+            try:
+                queue.append(next(it))
+            except StopIteration:
+                pass
+            yield out
 
     def fit(self, state, step_fn, train_loader: Iterable,
             eval_fn: Optional[Callable] = None,
@@ -103,11 +138,7 @@ class Trainer:
         t_start = time.perf_counter()
         images_seen = 0
         for epoch in range(self.max_epochs):
-            for batch in train_loader:
-                x, y, mask = self.select_batch(batch)
-                x = self._place(x)
-                y = self._place(y) if y is not None else None
-                mask = self._place(mask) if mask is not None else None
+            for x, y, mask in self._batches(train_loader):
                 key, sub = jax.random.split(key)
                 if (self.profile_dir and self.profile_steps
                         and step == self.profile_steps[0]):
