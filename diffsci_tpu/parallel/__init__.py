@@ -19,9 +19,14 @@ from diffsci_tpu.parallel.tensor_parallel import (
     shard_state_tensor_parallel,
 )
 
+from diffsci_tpu.parallel.fsdp import (
+    fsdp_specs,
+    shard_state_fsdp,
+)
+
 __all__ = [
     "make_mesh", "initialize_distributed", "shard_batch", "replicate", "batch_sharding", "replicated",
     "pad_to_multiple", "DATA_AXIS", "SPATIAL_AXIS", "TENSOR_AXIS",
     "tensor_parallel_specs", "shard_params_tensor_parallel",
-    "shard_state_tensor_parallel",
+    "shard_state_tensor_parallel", "fsdp_specs", "shard_state_fsdp",
 ]

@@ -452,3 +452,24 @@ def test_hfnet_family():
         cond.init(KEY, x, t, None)
     with pytest.raises(ValueError):
         HFNet(block_channels=(8, 12)).init(KEY, x, t)  # non-integral ratio
+
+
+def test_stochasticity_sweep_artifact_shape():
+    """The committed FID-vs-gamma artifact must reproduce the reference
+    stochasticity-study shape: FID at the best stochastic gamma beats the
+    near-ODE end, and extreme churn degrades again (U-shape).
+    Regenerate with scripts/stochasticity_study.py on TPU."""
+    import json
+    import pathlib
+
+    path = (pathlib.Path(__file__).parents[1]
+            / "docs" / "artifacts" / "stochasticity_sweep.json")
+    art = json.loads(path.read_text())
+    assert art["shape_ok"] is True
+    fids = [p["fid"] for p in art["sweep"]]
+    gammas = [p["gamma"] for p in art["sweep"]]
+    best = fids.index(min(fids))
+    assert 0 < best < len(fids) - 1          # interior minimum
+    assert fids[best] < fids[0] * 0.85       # clearly beats near-ODE
+    assert fids[-1] > fids[best] * 1.5       # extreme churn degrades
+    assert gammas == sorted(gammas)
