@@ -102,7 +102,13 @@ class CheckpointManager:
     reference scripts/training/train-diffusion-cifar10.py:78-85)."""
 
     def __init__(self, directory: str | pathlib.Path, max_to_keep: int = 3,
-                 monitor: str = "valid_loss", mode: str = "min"):
+                 monitor: str = "valid_loss", mode: str = "min",
+                 keep_cadence: int = 2):
+        """``keep_cadence``: how many metricless (crash-safety) saves to
+        retain alongside the top-k-by-metric set. Orbax exempts
+        checkpoints without metrics from the top-k competition, so
+        without this bound a long cadence-saving run would retain every
+        one of them."""
         self.directory = pathlib.Path(directory).absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
         options = ocp.CheckpointManagerOptions(
@@ -110,15 +116,38 @@ class CheckpointManager:
             best_fn=lambda metrics: metrics.get(monitor, float("inf")),
             best_mode=mode)
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
+        self.keep_cadence = keep_cadence
+        self._cadence_steps: list[int] = []
 
     def save(self, step: int, state, metrics: dict[str, float] | None = None):
         """``metrics=None`` marks a cadence/crash-safety save: it carries no
         monitored metric, so orbax keeps it outside the top-k-by-metric
-        competition (keep_checkpoints_without_metrics default)."""
+        competition; this manager bounds those to ``keep_cadence`` itself.
+
+        A metric save at a step that already has a (metricless) save
+        replaces it — orbax would otherwise silently drop the duplicate-
+        step save, losing the monitored metric and breaking best-step
+        tracking for the rest of the run."""
         if metrics is not None:
             metrics = {k: float(v) for k, v in metrics.items()}
+            if step in (self._mgr.all_steps() or []):
+                # finish any in-flight async save before deleting it
+                self._mgr.wait_until_finished()
+                self._mgr.delete(step)
+            if step in self._cadence_steps:
+                self._cadence_steps.remove(step)
         self._mgr.save(step, args=ocp.args.StandardSave(state),
                        metrics=metrics)
+        if metrics is None:
+            self._cadence_steps.append(step)
+            if len(self._cadence_steps) > self.keep_cadence:
+                self._mgr.wait_until_finished()
+            while len(self._cadence_steps) > self.keep_cadence:
+                old = self._cadence_steps.pop(0)
+                try:
+                    self._mgr.delete(old)
+                except Exception:  # already pruned / replaced
+                    pass
 
     def restore_latest(self, state_template):
         step = self._mgr.latest_step()
@@ -137,6 +166,10 @@ class CheckpointManager:
                                 state_template)
         return self._mgr.restore(
             step, args=ocp.args.StandardRestore(abstract)), step
+
+    def wait_until_finished(self):
+        """Drain orbax's async save writer (safe to call any time)."""
+        self._mgr.wait_until_finished()
 
     def close(self):
         self._mgr.wait_until_finished()

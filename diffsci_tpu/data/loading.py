@@ -69,6 +69,28 @@ def train_val_split(dataset: Any, val_fraction: float = 0.1, seed: int = 0):
     return take(train_idx), take(val_idx)
 
 
+def buffered(iterator: Iterator[Any], size: int) -> Iterator[Any]:
+    """Keep ``size`` items of an iterator eagerly materialized ahead of
+    the consumer. Combined with async device_put in the producer, this
+    overlaps batch k+1's host->device transfer with batch k's compute."""
+    import collections
+
+    queue: collections.deque = collections.deque()
+    it = iter(iterator)
+    for _ in range(size):
+        try:
+            queue.append(next(it))
+        except StopIteration:
+            break
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(next(it))
+        except StopIteration:
+            pass
+        yield out
+
+
 def prefetch_to_device(iterator: Iterator[Any], size: int = 2,
                        sharding=None) -> Iterator[Any]:
     """Double-buffered host->device prefetch.
@@ -79,27 +101,12 @@ def prefetch_to_device(iterator: Iterator[Any], size: int = 2,
     compute of batch k — the JAX analogue of torch DataLoader's
     pin_memory+non_blocking path the reference relies on implicitly.
     """
-    import collections
+    def placed():
+        for batch in iterator:
+            if sharding is not None:
+                yield jax.tree.map(lambda a: jax.device_put(a, sharding),
+                                   batch)
+            else:
+                yield jax.tree.map(jax.device_put, batch)
 
-    queue: collections.deque = collections.deque()
-
-    def put(batch):
-        if sharding is not None:
-            queue.append(jax.tree.map(
-                lambda a: jax.device_put(a, sharding), batch))
-        else:
-            queue.append(jax.tree.map(jax.device_put, batch))
-
-    it = iter(iterator)
-    for _ in range(size):
-        try:
-            put(next(it))
-        except StopIteration:
-            break
-    while queue:
-        out = queue.popleft()
-        try:
-            put(next(it))
-        except StopIteration:
-            pass
-        yield out
+    return buffered(placed(), size)

@@ -46,9 +46,17 @@ INTERPRET = False
 _MAX_BLOCK = 256 * 1024  # elements per block (1MB f32) — well under VMEM
 
 
+def _norm_coeff(c, batch):
+    """Accept scalar / [1] / [B] / [B,1,...] coefficients; return [B] f32
+    (the same shapes bcast_right tolerates in the unfused paths)."""
+    c = jnp.asarray(c, jnp.float32).reshape(-1)
+    return jnp.broadcast_to(c, (batch,))
+
+
 def _xla_axby(x, f, a, b):
-    ax = a.reshape(a.shape + (1,) * (x.ndim - 1)).astype(jnp.float32)
-    bx = b.reshape(b.shape + (1,) * (x.ndim - 1)).astype(jnp.float32)
+    B = x.shape[0]
+    ax = _norm_coeff(a, B).reshape((B,) + (1,) * (x.ndim - 1))
+    bx = _norm_coeff(b, B).reshape((B,) + (1,) * (x.ndim - 1))
     return (ax * x.astype(jnp.float32)
             + bx * f.astype(jnp.float32)).astype(x.dtype)
 
@@ -121,8 +129,8 @@ def _axby_impl(x, f, a, b, interpret):
     B = x.shape[0]
     xf = x.reshape(B, n // 128, 128)
     ff = f.reshape(B, n // 128, 128)
-    a1 = a.reshape(B).astype(jnp.float32)
-    b1 = b.reshape(B).astype(jnp.float32)
+    a1 = _norm_coeff(a, B)
+    b1 = _norm_coeff(b, B)
     out = _axby_pallas(xf, ff, a1, b1, block_r, interpret)
     return out.reshape(x.shape)
 
@@ -133,15 +141,21 @@ def _axby_fwd(x, f, a, b, interpret):
 
 def _axby_bwd(interpret, res, g):
     x, f, a, b = res
+    B = x.shape[0]
     gf32 = g.astype(jnp.float32)
     red = tuple(range(1, x.ndim))
-    ashape = a.reshape(a.shape + (1,) * (x.ndim - 1))
-    bshape = b.reshape(b.shape + (1,) * (x.ndim - 1))
-    dx = (ashape.astype(jnp.float32) * gf32).astype(x.dtype)
-    df = (bshape.astype(jnp.float32) * gf32).astype(f.dtype)
-    da = jnp.sum(gf32 * x.astype(jnp.float32), axis=red).astype(a.dtype)
-    db = jnp.sum(gf32 * f.astype(jnp.float32), axis=red).astype(b.dtype)
-    return dx, df, da, db
+    bc = (B,) + (1,) * (x.ndim - 1)
+    dx = (_norm_coeff(a, B).reshape(bc) * gf32).astype(x.dtype)
+    df = (_norm_coeff(b, B).reshape(bc) * gf32).astype(f.dtype)
+
+    def coeff_grad(val, coeff):
+        coeff = jnp.asarray(coeff)
+        d = jnp.sum(gf32 * val.astype(jnp.float32), axis=red)  # [B]
+        if coeff.size != B:  # scalar / [1] coefficient was broadcast
+            d = jnp.sum(d, keepdims=coeff.ndim > 0)
+        return d.reshape(coeff.shape).astype(coeff.dtype)
+
+    return dx, df, coeff_grad(x, a), coeff_grad(f, b)
 
 
 fused_axby.defvjp(_axby_fwd, _axby_bwd)
@@ -155,7 +169,13 @@ def denoise_combine(x, f, c_skip, c_out, interpret=None):
 def euler_update(x, f, c_skip, c_out, t, t_next, interpret=None):
     """Fused denoise + Euler ODE step:
     x' = x + (t_next − t)/t · (x − D),  D = c_skip·x + c_out·f.
-    Folds to a·x + b·f with a = 1 + r(1 − c_skip), b = −r·c_out."""
+    Folds to a·x + b·f with a = 1 + r(1 − c_skip), b = −r·c_out.
+
+    Provided for custom sampling loops that call the raw network and
+    want the whole Karras-ODE Euler step in one pass. The stock
+    integrators (ops/integrators.py) are generic over an rhs closure and
+    do NOT use this; their sampler already gets the combine win through
+    denoise_combine inside get_denoiser."""
     r = (t_next - t) / t
     a = 1.0 + r * (1.0 - c_skip)
     b = -r * c_out

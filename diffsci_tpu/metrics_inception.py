@@ -260,8 +260,13 @@ def inception_fid_features(variables, x, batch_size: int = 64):
 
     @jax.jit
     def run(xb):
+        # antialias=False: torch F.interpolate(bilinear) samples plain 2x2
+        # neighborhoods even when minifying; jax's default antialias=True
+        # would widen the kernel and shift pool3 features for inputs
+        # larger than 299px, breaking comparability with pytorch-fid
         xb = jax.image.resize(
-            xb, (xb.shape[0], 299, 299, xb.shape[-1]), "bilinear")
+            xb, (xb.shape[0], 299, 299, xb.shape[-1]), "bilinear",
+            antialias=False)
         xb = xb * 2.0 - 1.0
         return net.apply(variables, xb)
 

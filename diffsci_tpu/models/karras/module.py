@@ -354,8 +354,10 @@ class KarrasModel:
         classifier-free guidance when guidance != 1 (karrasmodule.py:705-713).
         Returns (denoiser, cond_noise)."""
         pre = self.config.preconditioner
-        c_skip = bcast_right(pre.skip_scaling(sigma), x)
-        c_out = bcast_right(pre.output_scaling(sigma), x)
+        c_skip_vec = pre.skip_scaling(sigma)
+        c_out_vec = pre.output_scaling(sigma)
+        c_skip = bcast_right(c_skip_vec, x)
+        c_out = bcast_right(c_out_vec, x)
         c_in = bcast_right(pre.input_scaling(sigma), x)
         cnoise = pre.noise_conditioner(sigma)
         scaled = c_in * x
@@ -393,8 +395,8 @@ class KarrasModel:
                      or (self.fused_precondition == "sample" and not train))
         if use_fused:
             from diffsci_tpu.kernels import fused_precondition as fp
-            return fp.denoise_combine(x, base, pre.skip_scaling(sigma),
-                                      pre.output_scaling(sigma)), cnoise
+            return fp.denoise_combine(x, base, c_skip_vec,
+                                      c_out_vec), cnoise
         return c_out * base + c_skip * x, cnoise
 
     def get_score(self, variables, x, sigma, y=None, guidance: float = 1.0):

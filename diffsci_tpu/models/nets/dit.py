@@ -82,12 +82,12 @@ class DiTBlock(nn.Module):
 
         h = nn.LayerNorm()(x)
         h = adaln_modulate(h, shift_msa, scale_msa)
-        if self.attn_backend == "flash":
-            from diffsci_tpu.models.nets.attention import MultiHeadAttention
-            h = MultiHeadAttention(num_heads=self.nheads, use_bias=True,
-                                   backend="flash")(h)
-        else:
-            h = nn.MultiHeadDotProductAttention(num_heads=self.nheads)(h, h)
+        # one parameterization for both backends, so attn_backend is a
+        # pure compute toggle: a checkpoint trained with 'xla' samples
+        # with 'flash' unchanged (same guarantee as ADM/PUNetG)
+        from diffsci_tpu.models.nets.attention import MultiHeadAttention
+        h = MultiHeadAttention(num_heads=self.nheads, use_bias=True,
+                               backend=self.attn_backend)(h)
         x = x + gate_msa[:, None] * h
 
         h = nn.LayerNorm()(x)

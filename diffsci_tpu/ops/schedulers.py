@@ -382,6 +382,14 @@ class EDMScheduler(Scheduler):
         self.exponent_steps = float(exponent_steps)
 
     def create_steps(self, n: int) -> np.ndarray:
+        if n < 3:
+            # the reference formula divides by n-2 (schedulers.py:378) and
+            # silently yields a NaN grid for a single-step sample; raise
+            # instead so sample(nsteps=1) fails loudly
+            raise ValueError(
+                f"EDM sigma grid needs at least 2 sampling steps (got "
+                f"n={n} grid points); the Karras rho-spacing formula "
+                f"divides by n-2")
         rho = self.exponent_steps
         s = np.arange(n - 1, dtype=np.float64) / (n - 2)
         start = self.sigma_max ** (1 / rho)

@@ -59,33 +59,41 @@ def fsdp_specs(params: Any, mesh: Mesh, axis: str = DATA_AXIS,
 
 
 def shard_state_fsdp(state, mesh: Mesh, axis: str = DATA_AXIS,
-                     min_elements: int = 4096, existing_specs: Any = None):
+                     min_elements: int = 4096, tensor_axis: str | None = None,
+                     tensor_min_size: int = 128, existing_specs: Any = None):
     """Shard a TrainState FSDP-style: params, optimizer moments, and EMA
-    shadows (which mirror the param structure) sharded over ``axis``;
-    consts and step replicated. Run the usual jitted train step on the
-    result with a data-sharded batch — GSPMD does the rest."""
-    pspecs = fsdp_specs(state.params, mesh, axis, min_elements,
-                        existing_specs)
+    shadows sharded over ``axis``; consts and step replicated. Run the
+    usual jitted train step on the result with a data-sharded batch —
+    GSPMD does the rest.
+
+    Both spec pickers are pure functions of leaf shape, so optimizer and
+    EMA trees get their specs computed from their *own* leaves — a
+    moment whose shape mirrors its param gets the identical spec, and a
+    factored-optimizer moment with a shape unlike any param still gets
+    sharded on its own largest divisible dimension rather than silently
+    replicated.
+
+    ``tensor_axis``: compose with tensor parallelism on a 2D mesh —
+    equivalent to passing ``existing_specs=tensor_parallel_specs(...)``
+    for the params, but applied consistently to the mirrored trees too.
+    """
+    from diffsci_tpu.parallel.tensor_parallel import tensor_parallel_specs
+
+    def tree_specs(tree, prior=None):
+        if prior is None and tensor_axis is not None:
+            prior = tensor_parallel_specs(tree, mesh, tensor_axis,
+                                          tensor_min_size)
+        return fsdp_specs(tree, mesh, axis, min_elements, prior)
 
     def put(leaf, s):
         return jax.device_put(leaf, NamedSharding(mesh, s))
 
-    params = jax.tree.map(put, state.params, pspecs)
+    def shard_tree(tree, prior=None):
+        return jax.tree.map(put, tree, tree_specs(tree, prior))
 
-    shape_to_spec = {}
-    for leaf, s in zip(jax.tree.leaves(state.params),
-                       jax.tree.leaves(pspecs,
-                                       is_leaf=lambda x: isinstance(x, P))):
-        shape_to_spec.setdefault(leaf.shape, s)
-
-    def shard_like_params(tree):
-        def visit(leaf):
-            s = shape_to_spec.get(getattr(leaf, "shape", None), P())
-            return put(leaf, s)
-        return jax.tree.map(visit, tree)
-
-    opt_state = shard_like_params(state.opt_state)
-    ema = shard_like_params(state.ema) if state.ema is not None else None
+    params = shard_tree(state.params, existing_specs)
+    opt_state = shard_tree(state.opt_state)
+    ema = shard_tree(state.ema) if state.ema is not None else None
     consts = jax.tree.map(lambda l: put(l, P()), state.consts)
     step = put(state.step, P())
     return state.replace(params=params, consts=consts, opt_state=opt_state,

@@ -114,21 +114,8 @@ class Trainer:
         if not self.prefetch:
             yield from placed()
             return
-        import collections
-        queue = collections.deque()
-        it = placed()
-        for _ in range(self.prefetch):
-            try:
-                queue.append(next(it))
-            except StopIteration:
-                break
-        while queue:
-            out = queue.popleft()
-            try:
-                queue.append(next(it))
-            except StopIteration:
-                pass
-            yield out
+        from diffsci_tpu.data.loading import buffered
+        yield from buffered(placed(), self.prefetch)
 
     def fit(self, state, step_fn, train_loader: Iterable,
             eval_fn: Optional[Callable] = None,
@@ -175,6 +162,14 @@ class Trainer:
                 and step > 0 and step != self._last_saved_step):
             self.checkpoint_manager.save(step, state)
             self._last_saved_step = step
+        if self.checkpoint_manager is not None:
+            # drain the async save writer before returning — otherwise a
+            # process that exits right after fit() races the background
+            # save thread ("cannot schedule new futures after shutdown")
+            wait = getattr(self.checkpoint_manager, "wait_until_finished",
+                           None)
+            if wait is not None:
+                wait()
         return state
 
     def validate(self, state, eval_fn, val_loader, key) -> dict[str, float]:

@@ -158,18 +158,21 @@ def test_adm_dit_flash_backend_parity():
     np.testing.assert_allclose(np.asarray(y_flash), np.asarray(y_ref),
                                rtol=2e-4, atol=2e-5)
 
-    # DiT: flash backend swaps the attention parameterization, so check
-    # shape/finite + description round-trip rather than weight parity
-    dit = DiffusionTransformer(nembed=32, nheads=2, nblocks=1,
-                               patch_size=4, attn_backend="flash")
+    # DiT: one parameterization for both backends — a checkpoint trained
+    # with 'xla' must produce identical outputs under 'flash'
+    dit_x = DiffusionTransformer(nembed=32, nheads=2, nblocks=1,
+                                 patch_size=4)
+    dit_f = DiffusionTransformer(nembed=32, nheads=2, nblocks=1,
+                                 patch_size=4, attn_backend="flash")
+    v = dit_x.init(jax.random.PRNGKey(2), x, t)
+    out_x = dit_x.apply(v, x, t)
     fa_mod.INTERPRET = True
     fa_mod.DEFAULT_MIN_TOKENS = 1
     try:
-        v = dit.init(jax.random.PRNGKey(2), x, t)
-        out = dit.apply(v, x, t)
+        out_f = dit_f.apply(v, x, t)
     finally:
         fa_mod.INTERPRET = False
         fa_mod.DEFAULT_MIN_TOKENS = old_mt
-    assert out.shape == x.shape
-    assert bool(jnp.all(jnp.isfinite(out)))
-    assert dit.export_description()["attn_backend"] == "flash"
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                               rtol=2e-4, atol=2e-5)
+    assert dit_f.export_description()["attn_backend"] == "flash"

@@ -329,3 +329,22 @@ def test_karras_model_fused_precondition_parity():
         fp.INTERPRET = False
     np.testing.assert_allclose(np.asarray(d_fused), np.asarray(d_plain),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_fused_axby_coefficient_shapes():
+    """Scalar / [1] / [B,1,..] coefficients must work like bcast_right in
+    the unfused paths (regression: reshape(B) rejected them), including
+    grads with cotangents matching the primal coefficient shapes."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 16))
+    f = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 16))
+    aB = jnp.arange(1.0, 5.0)
+    ref = fp._xla_axby(x, f, aB, aB)
+    for a in (jnp.float32(2.0), jnp.ones((1,)) * 2.0,
+              jnp.full((4, 1, 1), 2.0)):
+        out = fp.fused_axby(x, f, a, a, True)
+        expect = 2.0 * x + 2.0 * f
+        np.testing.assert_allclose(out, expect, rtol=1e-6, atol=1e-6)
+        da = jax.grad(lambda a: jnp.sum(fp.fused_axby(x, f, a, a, True)),
+                      argnums=0)(a)
+        assert da.shape == jnp.shape(a)
+    assert ref.shape == x.shape

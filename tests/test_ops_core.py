@@ -290,3 +290,13 @@ def test_langevin_factor_and_interval_gate():
     sched2 = ops.EDMScheduler(langevin_const=2.0, langevin_interval=(1.0, 5.0))
     gates = sched2._langevin_gate(np.array([0.5, 3.0, 10.0]))
     np.testing.assert_allclose(gates, [0.0, 1.0, 0.0])
+
+
+def test_edm_grid_rejects_single_step():
+    """nsteps=1 used to produce a silent NaN grid (the reference's
+    create_steps divides by n-2); it must raise instead."""
+    sched = ops.EDMScheduler()
+    with pytest.raises(ValueError):
+        sched.create_steps(2)
+    steps = sched.create_steps(3)
+    assert np.all(np.isfinite(steps))

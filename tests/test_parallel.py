@@ -275,7 +275,7 @@ def test_fsdp_composes_with_tensor_parallel():
         axes = [a for a in s if a is not None]
         assert len(axes) == len(set(axes))  # no axis reused
     state_b = shard_state_fsdp(state2, mesh, min_elements=64,
-                               existing_specs=tp)
+                               tensor_axis="tensor", tensor_min_size=64)
 
     ds = data.ZeroDataset(num_samples=64, shape=[2])
     xs = ds.sample(jax.random.PRNGKey(1))[:32]

@@ -283,3 +283,34 @@ def test_trainer_prefetch_same_result():
         batches = [np.asarray(x) for x, _, _ in tr._batches(loader)]
         results.append(np.concatenate(batches))
     np.testing.assert_array_equal(results[0], results[1])
+
+
+def test_metric_save_replaces_cadence_save_same_step(tmp_path):
+    """A validation save at a step that already has a cadence save must
+    record the metric (orbax silently drops duplicate-step saves, which
+    previously broke best-checkpoint tracking for the whole run)."""
+    from diffsci_tpu.checkpoint import CheckpointManager
+    mgr = CheckpointManager(tmp_path / "ckpts", max_to_keep=3)
+    state = {"w": jnp.ones((4,))}
+    mgr.save(2, state)                      # cadence save, no metrics
+    mgr.save(2, state, {"valid_loss": 0.5})  # val save, same step
+    assert mgr._mgr.best_step() == 2
+    mgr.save(4, state)
+    mgr.save(4, state, {"valid_loss": 0.25})
+    assert mgr._mgr.best_step() == 4
+    mgr.close()
+
+
+def test_cadence_saves_are_bounded(tmp_path):
+    """Metricless saves are exempt from orbax's top-k competition, so the
+    manager must bound them itself (keep_cadence)."""
+    from diffsci_tpu.checkpoint import CheckpointManager
+    mgr = CheckpointManager(tmp_path / "ckpts", max_to_keep=2,
+                            keep_cadence=2)
+    state = {"w": jnp.ones((4,))}
+    for step in range(1, 7):
+        mgr.save(step, state)  # six cadence saves
+    steps = sorted(mgr._mgr.all_steps())
+    assert len(steps) <= 2, steps           # bounded, not six
+    assert steps[-1] == 6                   # latest survives (crash safety)
+    mgr.close()
