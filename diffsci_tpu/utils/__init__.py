@@ -12,6 +12,7 @@ from diffsci_tpu.utils.tensor import (
     get_minibatch_sizes,
 )
 from diffsci_tpu.utils.tensor import inverse_cdf_histogram
+from diffsci_tpu.utils.tensor import enable_compilation_cache
 from diffsci_tpu.utils.images import (
     make_image_grid,
     save_image_grid,

@@ -1,0 +1,52 @@
+"""SamplerService: AOT compilation, bucket padding, chunking."""
+
+import numpy as np
+import jax
+
+from diffsci_tpu.models import KarrasModel, KarrasModelConfig
+from diffsci_tpu.models.nets.mlp import MLPUncond
+from diffsci_tpu.serving import SamplerService
+
+
+def _service(buckets=(2, 4), nsteps=3):
+    model = KarrasModel(MLPUncond(dim=2, hidden_dims=(8,)),
+                        KarrasModelConfig.from_edm())
+    vs = model.init(jax.random.PRNGKey(0), (4, 2))
+    return SamplerService(model, vs, shape=(2,), batch_buckets=buckets,
+                          nsteps=nsteps)
+
+
+def test_warmup_compiles_all_buckets():
+    svc = _service()
+    times = svc.warmup()
+    assert set(times) == {2, 4}
+    assert set(svc._compiled) == {2, 4}
+
+
+def test_sample_pads_to_bucket_and_slices():
+    svc = _service()
+    out = svc.sample(3)  # pads to bucket 4, slices to 3
+    assert out.shape == (3, 2)
+    assert np.all(np.isfinite(out))
+    assert svc.stats["padded"] == 1
+    assert svc.stats["chunks"] == 1
+
+
+def test_sample_chunks_large_requests():
+    svc = _service()
+    out = svc.sample(10)  # 4 + 4 + 2: three chunks, no padding
+    assert out.shape == (10, 2)
+    assert svc.stats["chunks"] == 3
+    assert svc.stats["padded"] == 0
+    assert svc.throughput() > 0
+    # chunks must differ (fresh keys), not repeat the same batch
+    assert not np.allclose(out[:4], out[4:8])
+
+
+def test_deterministic_with_explicit_key():
+    svc1 = _service()
+    svc2 = _service()
+    k = jax.random.PRNGKey(42)
+    a = svc1.sample(2, key=k)
+    b = svc2.sample(2, key=k)
+    np.testing.assert_array_equal(a, b)
