@@ -57,8 +57,10 @@ class SamplerService:
 
     # ------------------------------------------------------------------
     def warmup(self, verbose: bool = False) -> dict[int, float]:
-        """AOT-compile one executable per batch bucket. Returns compile
-        seconds per bucket."""
+        """AOT-compile one executable per batch bucket AND execute each
+        once (discarded): the first invocation of a compiled executable
+        pays device program load, so running it here makes first-request
+        latency equal steady-state. Returns seconds per bucket."""
         times = {}
         for b in self.batch_buckets:
             t0 = time.perf_counter()
@@ -70,9 +72,18 @@ class SamplerService:
 
             lowered = jax.jit(fn).lower(self.variables, self._key)
             self._compiled[b] = lowered.compile()
+            # hard-sync with a scalar readback: on remote-tunnel platforms
+            # block_until_ready can return before the first execution
+            # actually materializes the program device-side, which would
+            # push a multi-second first-run cost onto the first request
+            out = self._compiled[b](self.variables, self._key)
+            float(jnp.sum(out))
             times[b] = time.perf_counter() - t0
             if verbose:
                 print(f"warmup bucket {b}: {times[b]:.1f}s")
+        # pre-trace the key-split helper too (first sample() otherwise
+        # pays its compile)
+        self._next_key()
         return times
 
     def _bucket(self, n: int) -> int:
