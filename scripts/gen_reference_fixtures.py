@@ -198,6 +198,44 @@ def main():
             # (schedulers.py:67-71); store [1:] = actual states
             out[f"traj_{name}_heun_fwd"] = hist_f.numpy()[1:]
 
+    # ---------------- DDPM v2 schedulers ----------------
+    from diffsci.models.ddpm.v2 import schedulers as ddpm_scheds
+    ddpm_t = np.arange(1, 1001, 37, dtype=np.float32)
+    out["ddpm_t_steps"] = ddpm_t
+    dts = torch.tensor(ddpm_t)
+    dscheds = {
+        "classical": ddpm_scheds.ClassicalDDPMScheduler(),
+        "exp": ddpm_scheds.ExpDDPMScheduler(),
+        "cosine": ddpm_scheds.CosineDDPMScheduler(),
+    }
+    with torch.no_grad():
+        for name, s in dscheds.items():
+            out[f"ddpm_{name}_calpha"] = s.calpha(dts).numpy()
+            out[f"ddpm_{name}_alpha"] = s.alpha(dts).numpy()
+            out[f"ddpm_{name}_beta"] = s.beta(dts).numpy()
+
+    # ---------------- SI (flow matching) interpolants ----------------
+    from diffsci.models.karras import flowfield
+    sis = {
+        "linear": flowfield.SIScheduler.linear(),
+        "cosine": flowfield.SIScheduler.cosine(),
+        "edm": flowfield.SIScheduler.edm(),
+    }
+    with torch.no_grad():
+        for name, s in sis.items():
+            a = s.alpha_fn(tg)
+            out[f"si_{name}_alpha"] = (
+                a.numpy() if torch.is_tensor(a)
+                else np.full_like(t_grid, float(a)))
+            out[f"si_{name}_sigma"] = s.sigma_fn(tg).numpy()
+            ad = s.alpha_fn_dot(tg)
+            out[f"si_{name}_alpha_dot"] = (
+                ad.numpy() if torch.is_tensor(ad)
+                else np.full_like(t_grid, float(ad)))
+            out[f"si_{name}_sigma_dot"] = s.sigma_fn_dot(tg).numpy()
+            out[f"si_{name}_sigma_inv"] = s.sigma_fn_inv(
+                s.sigma_fn(tg)).numpy()
+
     np.savez_compressed(os.path.join(OUTDIR, "math_golden.npz"), **out)
     with open(os.path.join(OUTDIR, "math_golden_scalars.json"), "w") as f:
         json.dump(scalars, f, indent=1)
