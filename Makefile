@@ -14,9 +14,9 @@ install:
 test:
 	$(PYTHON) -m pytest tests/ -q
 
-## Stop at first failure
+## Fast iteration: skip the slow 3D/e2e tests (~6 min vs ~17)
 test-fast:
-	$(PYTHON) -m pytest tests/ -x -q
+	$(PYTHON) -m pytest tests/ -q -m "not slow" -x
 
 ## Throughput benchmark (one JSON line; runs on the default platform)
 bench:
