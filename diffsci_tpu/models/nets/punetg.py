@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from diffsci_tpu.models.nets import layers
+from diffsci_tpu.utils import tensor as tensor_utils
 from diffsci_tpu.models.nets.attention import SpatialSelfAttention
 
 
@@ -62,6 +63,12 @@ class PUNetGConfig:
     num_heads: int = 1
     attn_backend: str = "xla"
     bias: bool = True
+    # Fold s^d spatial tiles into channels at the input and unfold at the
+    # output. TPU lever: C<128 tensors pad the lane dim to 128, so a
+    # C=1..32 volume moves 4-128x its logical bytes; folding recovers
+    # lane utilization at the expensive high-resolution levels (measured
+    # v5e: a 32^3/32ch train step is 5% MXU / 106% HBM without it).
+    space_to_depth: int = 1
 
     def __post_init__(self):
         object.__setattr__(self, "channel_expansion",
@@ -136,6 +143,9 @@ class PUNetG(nn.Module):
         cfg = self.config
         assert x.ndim == cfg.dimension + 2, (
             f"expected [B, *{cfg.dimension}D spatial, C], got {x.shape}")
+
+        if cfg.space_to_depth > 1:
+            x = tensor_utils.space_to_depth(x, cfg.space_to_depth)
 
         if not cfg.bias:
             ones = jnp.ones(x.shape[:-1] + (1,), x.dtype)
@@ -223,9 +233,13 @@ class PUNetG(nn.Module):
                 x = self._resnet(out_mult, f"up_{i}_res_{j}")(x, te, train)
 
         # --- output head ---
-        x = layers.conv_layer(cfg.convolution_type, cfg.output_channels,
+        s2d = cfg.space_to_depth
+        out_ch = cfg.output_channels * (s2d ** cfg.dimension)
+        x = layers.conv_layer(cfg.convolution_type, out_ch,
                               cfg.in_out_kernel_size, cfg.bias,
                               name="convout")(cfg.dimension)(x)
+        if s2d > 1:
+            x = tensor_utils.depth_to_space(x, s2d)
         return x
 
     def export_description(self) -> dict[str, Any]:

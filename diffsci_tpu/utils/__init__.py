@@ -13,6 +13,7 @@ from diffsci_tpu.utils.tensor import (
 )
 from diffsci_tpu.utils.tensor import inverse_cdf_histogram
 from diffsci_tpu.utils.tensor import enable_compilation_cache
+from diffsci_tpu.utils.tensor import space_to_depth, depth_to_space
 from diffsci_tpu.utils.images import (
     make_image_grid,
     save_image_grid,

@@ -95,3 +95,51 @@ def enable_compilation_cache(cache_dir: str = "~/.cache/diffsci_tpu_xla",
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       float(min_compile_seconds))
     return path
+
+
+def space_to_depth(x, block: int):
+    """Fold ``block``-sized spatial tiles into channels (dimension-
+    agnostic): [B, *S, C] -> [B, *S/block, C·block^d].
+
+    TPU rationale: tensors with few channels waste vector lanes — the
+    minor dim is padded to 128, so a C=1..32 volume physically moves
+    4-128x its logical bytes through HBM. Folding spatial blocks into
+    channels recovers lane utilization at the (most expensive) high-
+    resolution levels of a UNet.
+    """
+    if block == 1:
+        return x
+    B, C = x.shape[0], x.shape[-1]
+    spatial = x.shape[1:-1]
+    d = len(spatial)
+    shape = [B]
+    for s in spatial:
+        if s % block != 0:
+            raise ValueError(f"spatial dim {s} not divisible by {block}")
+        shape += [s // block, block]
+    shape.append(C)
+    x = x.reshape(shape)
+    perm = ([0] + [1 + 2 * i for i in range(d)]
+            + [2 + 2 * i for i in range(d)] + [1 + 2 * d])
+    x = x.transpose(perm)
+    return x.reshape((B,) + tuple(s // block for s in spatial)
+                     + (C * block ** d,))
+
+
+def depth_to_space(x, block: int):
+    """Inverse of :func:`space_to_depth`."""
+    if block == 1:
+        return x
+    B, C = x.shape[0], x.shape[-1]
+    spatial = x.shape[1:-1]
+    d = len(spatial)
+    c_out = C // block ** d
+    if c_out * block ** d != C:
+        raise ValueError(f"channels {C} not divisible by {block}^{d}")
+    x = x.reshape((B,) + spatial + (block,) * d + (c_out,))
+    perm = [0]
+    for i in range(d):
+        perm += [1 + i, 1 + d + i]
+    perm.append(1 + 2 * d)
+    x = x.transpose(perm)
+    return x.reshape((B,) + tuple(s * block for s in spatial) + (c_out,))

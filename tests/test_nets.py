@@ -272,3 +272,35 @@ def test_punetg_config_roundtrip(tmp_path):
     desc = config.export_description()
     config2 = nets.PUNetGConfig.from_description(desc)
     assert config2 == config
+
+
+def test_punetg_space_to_depth():
+    """space_to_depth folds spatial tiles into channels at the input and
+    unfolds at the output (TPU lane-utilization lever for C<128 volumes);
+    shapes must round-trip in 2D and 3D and gradients stay finite."""
+    from diffsci_tpu.utils import space_to_depth, depth_to_space
+
+    # helper roundtrip
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 8, 3))
+    np.testing.assert_array_equal(
+        np.asarray(depth_to_space(space_to_depth(x, 2), 2)), np.asarray(x))
+
+    for dim, spatial in ((2, (16, 16)), (3, (8, 8, 8))):
+        cfg = nets.PUNetGConfig(dimension=dim, model_channels=8,
+                           channel_expansion=[2], space_to_depth=2)
+        net = nets.PUNetG(cfg)
+        xb = jax.random.normal(jax.random.PRNGKey(1),
+                               (2,) + spatial + (1,))
+        t = jnp.ones((2,))
+        vs = net.init(jax.random.PRNGKey(2), xb, t)
+        out = net.apply(vs, xb, t)
+        assert out.shape == xb.shape, (out.shape, xb.shape)
+
+        def loss(vs):
+            return jnp.sum(net.apply(vs, xb, t) ** 2)
+        g = jax.grad(loss)(vs)
+        assert all(bool(jnp.all(jnp.isfinite(l)))
+                   for l in jax.tree.leaves(g))
+    # config round-trip carries the flag
+    assert nets.PUNetGConfig.from_description(
+        cfg.export_description()).space_to_depth == 2
