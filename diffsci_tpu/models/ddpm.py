@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from diffsci_tpu.utils import bcast_right
+from diffsci_tpu.kernels import fused_precondition as fp
 from diffsci_tpu.ops.losses import huber as huber_loss
 
 
@@ -170,22 +171,28 @@ class ClassicalDDPMIntegrator(DDPMIntegratorBase):
         raise NotImplementedError
 
     def step_backward(self, key, x, t, noise_predictor, T):
+        # coefficients at [B]; the update runs as ONE fused pass
+        # (kernels/fused_precondition.fused_lincomb3) — on TPU the C=1
+        # channels-last elementwise chain would otherwise move 128x its
+        # logical bytes per step, hundreds of times per sample
         tb = jnp.broadcast_to(t, (x.shape[0],))
-        t_ = bcast_right(tb, x)
-        sigma_t = self.noise_injector(t_, T)
-        calpha_t = self.scheduler.calpha(t_, T)
-        alpha_t = self.scheduler.alpha(t_, T)
+        sigma_t = self.noise_injector(tb, T)
+        calpha_t = self.scheduler.calpha(tb, T)
+        alpha_t = self.scheduler.alpha(tb, T)
         beta_t = 1 - alpha_t
         eps = noise_predictor(x, tb)
-        x0_dir = x - beta_t / jnp.sqrt(1 - calpha_t) * eps
         noise = jax.random.normal(key, x.shape, x.dtype)
-        return x0_dir / jnp.sqrt(alpha_t) + sigma_t * noise
+        inv_sa = 1.0 / jnp.sqrt(alpha_t)
+        a = inv_sa
+        b = -beta_t / jnp.sqrt(1 - calpha_t) * inv_sa
+        return fp.fused_lincomb3(x, eps, noise, a, b, sigma_t)
 
     def step_forward(self, key, x, t, T):
-        tb = bcast_right(jnp.broadcast_to(t, (x.shape[0],)), x)
+        tb = jnp.broadcast_to(t, (x.shape[0],))
         beta_t = self.scheduler.beta(tb, T)
         noise = jax.random.normal(key, x.shape, x.dtype)
-        return jnp.sqrt(1 - beta_t) * x + jnp.sqrt(beta_t) * noise
+        return fp.fused_axby(x, noise, jnp.sqrt(1 - beta_t),
+                             jnp.sqrt(beta_t))
 
 
 class ClassicalDDPMIntegratorType1(ClassicalDDPMIntegrator):
@@ -214,25 +221,25 @@ class GeneralizedDDPMIntegrator(DDPMIntegratorBase):
 
     def step_backward(self, key, x, t, noise_predictor, T):
         tb = jnp.broadcast_to(t, (x.shape[0],))
-        t_ = bcast_right(tb, x)
-        sigma_t = self.noise_injector(t_, T)
-        calpha_t = self.scheduler.calpha(t_, T)
-        calpha_prev = self.scheduler.calpha(t_ - 1, T)
+        sigma_t = self.noise_injector(tb, T)
+        calpha_t = self.scheduler.calpha(tb, T)
+        calpha_prev = self.scheduler.calpha(tb - 1, T)
         eps = noise_predictor(x, tb)
-        x0_pred = (x - eps * jnp.sqrt(1 - calpha_t)) / jnp.sqrt(calpha_t)
-        x0_dir = jnp.sqrt(calpha_prev) * x0_pred
+        noise = jax.random.normal(key, x.shape, x.dtype)
+        # x0_dir + xt_dir + sigma*noise folded to a·x + b·eps + c·noise
+        inv_sca = 1.0 / jnp.sqrt(calpha_t)
+        a = jnp.sqrt(calpha_prev) * inv_sca
         xt_factor = jax.nn.relu(1 - calpha_prev - sigma_t ** 2)
-        xt_dir = jnp.sqrt(xt_factor) * eps
-        noise = sigma_t * jax.random.normal(key, x.shape, x.dtype)
-        return x0_dir + xt_dir + noise
+        b = jnp.sqrt(xt_factor) - a * jnp.sqrt(1 - calpha_t)
+        return fp.fused_lincomb3(x, eps, noise, a, b, sigma_t)
 
     def step_forward(self, key, x, t, T):
-        tb = bcast_right(jnp.broadcast_to(t, (x.shape[0],)), x)
+        tb = jnp.broadcast_to(t, (x.shape[0],))
         calpha_t = self.scheduler.calpha(tb, T)
         calpha_prev = self.scheduler.calpha(tb - 1, T)
         noise = jax.random.normal(key, x.shape, x.dtype)
-        return (jnp.sqrt(calpha_t / calpha_prev) * x
-                + (1 - calpha_t / calpha_prev) * noise)
+        ratio = calpha_t / calpha_prev
+        return fp.fused_axby(x, noise, jnp.sqrt(ratio), 1 - ratio)
 
 
 class DDPMIntegrator(GeneralizedDDPMIntegrator):

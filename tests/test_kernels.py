@@ -348,3 +348,65 @@ def test_fused_axby_coefficient_shapes():
                       argnums=0)(a)
         assert da.shape == jnp.shape(a)
     assert ref.shape == x.shape
+
+
+def test_fused_lincomb3_parity_and_grads():
+    shape = (3, 8, 16)
+    x = jax.random.normal(jax.random.PRNGKey(0), shape)
+    f = jax.random.normal(jax.random.PRNGKey(1), shape)
+    g = jax.random.normal(jax.random.PRNGKey(2), shape)
+    a = jnp.array([0.5, -1.0, 2.0])
+    b = jnp.array([1.5, 0.25, -0.5])
+    c = jnp.array([0.1, 0.2, 0.3])
+    out = fp.fused_lincomb3(x, f, g, a, b, c, True)
+    ref = fp._xla_lincomb3(x, f, g, a, b, c)
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+    gk = jax.grad(lambda *ar: jnp.sum(jnp.tanh(
+        fp.fused_lincomb3(*ar, True))), argnums=tuple(range(6)))(
+        x, f, g, a, b, c)
+    gr = jax.grad(lambda *ar: jnp.sum(jnp.tanh(
+        fp._xla_lincomb3(*ar))), argnums=tuple(range(6)))(x, f, g, a, b, c)
+    for got, ref_, nm in zip(gk, gr, "xfgabc"):
+        np.testing.assert_allclose(got, ref_, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"d{nm}")
+
+
+def test_ddpm_step_matches_unfused_formula():
+    """The fused DDPM/DDIM updates must equal the reference formulas
+    written with broadcast elementwise ops."""
+    from diffsci_tpu.models import ddpm as dd
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 8, 8, 1))
+    key = jax.random.PRNGKey(4)
+    t = jnp.float32(500.0)
+
+    def fake_eps(xx, tt):
+        return jnp.tanh(xx) * 0.5
+
+    for integ in (dd.ClassicalDDPMIntegratorType1(
+                      dd.ClassicalDDPMScheduler()),
+                  dd.ClassicalDDPMIntegratorType2(
+                      dd.ClassicalDDPMScheduler()),
+                  dd.DDPMIntegrator(dd.ClassicalDDPMScheduler())):
+        out = integ.step_backward(key, x, t, fake_eps, 1000)
+        # reference formula, broadcast style
+        tb = jnp.broadcast_to(t, (4,))
+        t_ = tb.reshape(4, 1, 1, 1)
+        sig = integ.noise_injector(tb, 1000).reshape(4, 1, 1, 1)
+        ca = integ.scheduler.calpha(t_, 1000)
+        eps = fake_eps(x, tb)
+        noise = jax.random.normal(key, x.shape, x.dtype)
+        if isinstance(integ, dd.ClassicalDDPMIntegrator):
+            al = integ.scheduler.alpha(t_, 1000)
+            ref = ((x - (1 - al) / jnp.sqrt(1 - ca) * eps) / jnp.sqrt(al)
+                   + sig * noise)
+        else:
+            cap = integ.scheduler.calpha(t_ - 1, 1000)
+            x0 = (x - eps * jnp.sqrt(1 - ca)) / jnp.sqrt(ca)
+            ref = (jnp.sqrt(cap) * x0
+                   + jnp.sqrt(jax.nn.relu(1 - cap - sig ** 2)) * eps
+                   + sig * noise)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=1e-5,
+                                   err_msg=type(integ).__name__)
