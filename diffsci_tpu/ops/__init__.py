@@ -30,6 +30,7 @@ from diffsci_tpu.ops.integrators import (
     HeunIntegrator,
     EulerMaruyamaIntegrator,
     KarrasIntegrator,
+    DPMSolverPlusPlus2M,
     name_to_integrator,
 )
 from diffsci_tpu.ops.schedulers import (
@@ -52,7 +53,7 @@ __all__ = [
     "NoiseSampler", "EDMNoiseSampler", "VPNoiseSampler", "VENoiseSampler",
     "UniformNoiseSampler",
     "Integrator", "EulerIntegrator", "HeunIntegrator",
-    "EulerMaruyamaIntegrator", "KarrasIntegrator", "name_to_integrator",
+    "EulerMaruyamaIntegrator", "KarrasIntegrator", "DPMSolverPlusPlus2M", "name_to_integrator",
     "Scheduler", "EDMScheduler", "VPScheduler", "VEScheduler",
     "EdgeDetectionPreprocessor", "make_loss_preprocessor",
     "smoothstep_window",

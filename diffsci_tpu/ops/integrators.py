@@ -34,6 +34,7 @@ RHSFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 class Integrator:
     stochastic: bool = False
     evaluates_endpoint: bool = False  # whether step() calls rhs at t + dt
+    has_carry = False  # multistep integrators thread extra scan state
 
     def scan_extras(self, t: np.ndarray, dt: np.ndarray,
                     nsteps: int) -> dict:
@@ -43,6 +44,16 @@ class Integrator:
     def step(self, key, x, t, dt, rhs: RHSFn, noise_strength, extras: dict,
              endpoint: bool = False):
         raise NotImplementedError
+
+    # -- multistep support (has_carry=True integrators override these) --
+    def init_carry(self, x):
+        return None
+
+    def step_carry(self, key, x, carry, t, dt, rhs, noise_strength,
+                   extras, endpoint: bool = False):
+        """(x, carry) -> (x_next, carry_next); default = stateless step."""
+        return self.step(key, x, t, dt, rhs, noise_strength, extras,
+                         endpoint=endpoint), carry
 
 
 @dataclasses.dataclass(frozen=True)
@@ -140,8 +151,56 @@ class KarrasIntegrator(Integrator):
         return x_noise + 0.5 * (rhs_euler + rhs_heun) * dt_noise
 
 
+@dataclasses.dataclass(frozen=True)
+class DPMSolverPlusPlus2M(Integrator):
+    """DPM-Solver++(2M) (Lu et al. 2022), the deterministic 2nd-order
+    multistep sampler, in the sigma parameterization — one network
+    evaluation per step (vs Heun's two) at comparable accuracy.
+
+    Beyond-parity addition (the reference has Euler/Heun/EM/churn only).
+    Valid for identity-scale schedulers (EDM/VE rho grids), where the
+    denoiser is recoverable from the PF-ODE rhs as D = x - sigma*rhs:
+
+        h        = ln(sigma) - ln(sigma_next)
+        r        = h_prev / h
+        D~       = (1 + 1/(2r)) D - 1/(2r) D_prev     (first step: D~ = D)
+        x_next   = (sigma_next/sigma) x + (1 - sigma_next/sigma) D~
+
+    The final grid point sigma_next = 0 degenerates to x_next = D~.
+    """
+    tag = "dpmpp2m"
+    has_carry = True
+
+    def init_carry(self, x):
+        return {"d_prev": jnp.zeros_like(x),
+                "h_prev": jnp.zeros((), jnp.float32),
+                "has_prev": jnp.zeros((), jnp.float32)}
+
+    def step_carry(self, key, x, carry, t, dt, rhs, noise_strength,
+                   extras, endpoint: bool = False):
+        eps = 1e-20
+        sigma = t
+        sigma_next = t + dt
+        d = x - sigma * rhs(x, sigma)
+        ratio = sigma_next / jnp.maximum(sigma, eps)
+        h = (jnp.log(jnp.maximum(sigma, eps))
+             - jnp.log(jnp.maximum(sigma_next, eps)))
+        r = carry["h_prev"] / jnp.maximum(h, eps)
+        # first step AND the final step to sigma=0 are first-order
+        # (k-diffusion's sigma_next == 0 guard): with sigma_next = 0,
+        # h blows up and 1/(2r) would amplify D - D_prev noise
+        use_2m = jnp.logical_and(carry["has_prev"] > 0, sigma_next > 0)
+        coef = jnp.where(use_2m, 1.0 / (2.0 * jnp.maximum(r, eps)), 0.0)
+        d_tilde = (1.0 + coef) * d - coef * carry["d_prev"]
+        x_next = ratio * x + (1.0 - ratio) * d_tilde
+        new_carry = {"d_prev": d, "h_prev": h,
+                     "has_prev": jnp.ones((), jnp.float32)}
+        return x_next, new_carry
+
+
 def name_to_integrator(name: str, scheduling=None) -> Integrator:
-    """Factory mirroring integrators.py:116-126."""
+    """Factory mirroring integrators.py:116-126 (+ dpmpp2m,
+    beyond-parity)."""
     if name == "euler":
         return EulerIntegrator()
     if name == "heun":
@@ -150,4 +209,6 @@ def name_to_integrator(name: str, scheduling=None) -> Integrator:
         return EulerMaruyamaIntegrator()
     if name == "karras":
         return KarrasIntegrator(scheduling=scheduling)
+    if name == "dpmpp2m":
+        return DPMSolverPlusPlus2M()
     raise ValueError(f"Unknown integrator: {name}")

@@ -174,6 +174,11 @@ class Scheduler:
 
         history = [x] if record_history else None
 
+        # multistep integrators (DPM-Solver++ 2M) thread extra state
+        # through the scan carry
+        icarry = (integrator.init_carry(x)
+                  if getattr(integrator, "has_carry", False) else None)
+
         if n_scan > 0:
             xs = pack(0, n_scan)
             if splice is not None:
@@ -181,15 +186,20 @@ class Scheduler:
                 xs["_step"] = jnp.arange(n_scan)
 
             def body(carry, xs_i):
-                xc, kc = carry
+                xc, kc, ic = carry
                 kc, sub = jax.random.split(kc)
-                xn = integrator.step(sub, xc, xs_i["t"], xs_i["dt"], rhs,
-                                     noise_strength, xs_i)
+                if ic is None:
+                    xn = integrator.step(sub, xc, xs_i["t"], xs_i["dt"],
+                                         rhs, noise_strength, xs_i)
+                else:
+                    xn, ic = integrator.step_carry(
+                        sub, xc, ic, xs_i["t"], xs_i["dt"], rhs,
+                        noise_strength, xs_i)
                 if splice is not None:
                     xn = splice(xn, xs_i["_step"])
-                return (xn, kc), (xn if record_history else None)
+                return (xn, kc, ic), (xn if record_history else None)
 
-            (x, key), ys = jax.lax.scan(body, (x, key), xs)
+            (x, key, icarry), ys = jax.lax.scan(body, (x, key, icarry), xs)
             if record_history:
                 history.append(ys)
 
@@ -197,8 +207,14 @@ class Scheduler:
             xs_f = pack(n_scan, nsteps)
             xs_last = {k: v[0] for k, v in xs_f.items()}
             key, sub = jax.random.split(key)
-            x = integrator.step(sub, x, xs_last["t"], xs_last["dt"], rhs,
-                                noise_strength, xs_last, endpoint=True)
+            if icarry is None:
+                x = integrator.step(sub, x, xs_last["t"], xs_last["dt"],
+                                    rhs, noise_strength, xs_last,
+                                    endpoint=True)
+            else:
+                x, icarry = integrator.step_carry(
+                    sub, x, icarry, xs_last["t"], xs_last["dt"], rhs,
+                    noise_strength, xs_last, endpoint=True)
             if splice is not None:
                 x = splice(x, n_scan)
             if record_history:
