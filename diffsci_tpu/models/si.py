@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Callable, Literal, Optional
+from typing import Callable, Literal
 
 import numpy as np
 import jax

@@ -15,7 +15,6 @@ import pathlib
 import time
 from typing import Any, Callable, Iterable, Optional
 
-import numpy as np
 import jax
 
 from diffsci_tpu.parallel import shard_batch
