@@ -61,6 +61,48 @@ def _xla_axby(x, f, a, b):
             + bx * f.astype(jnp.float32)).astype(x.dtype)
 
 
+def _coeff_grad(gf32, val, coeff, batch, reduce_axes):
+    """Gradient of a broadcast per-batch coefficient: sum the cotangent
+    against the tensor and fold back to the coefficient's own shape
+    (scalar / [1] coefficients were broadcast over the batch)."""
+    coeff = jnp.asarray(coeff)
+    d = jnp.sum(gf32 * val.astype(jnp.float32), axis=reduce_axes)  # [B]
+    if coeff.size != batch:
+        d = jnp.sum(d, keepdims=coeff.ndim > 0)
+    return d.reshape(coeff.shape).astype(coeff.dtype)
+
+
+def _flat_dispatch(tensors, coeffs, kernel, xla_fallback, interpret):
+    """Shared TPU dispatch for per-batch-scalar linear combinations:
+    run ``kernel`` over a [B, rows, 128] view when it tiles, else the
+    broadcast XLA fallback. tensors share x's shape; coeffs are
+    normalized to [B] f32 SMEM operands."""
+    x = tensors[0]
+    if interpret is None:
+        interpret = INTERPRET
+    on_tpu = _HAS_PALLAS and jax.default_backend() in ("tpu", "axon")
+    n = 1
+    for s in x.shape[1:]:
+        n *= s
+    block_r = _pick_rows(n) if (on_tpu or interpret) else None
+    if block_r is None:
+        return xla_fallback(*tensors, *coeffs)
+    B = x.shape[0]
+    view = (B, n // 128, 128)
+    spec = pl.BlockSpec((1, block_r, 128), lambda i, j: (i, j, 0))
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, (n // 128) // block_r),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * len(coeffs)
+                  + [spec] * len(tensors)),
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(view, x.dtype),
+        interpret=interpret,
+    )(*[_norm_coeff(c, B) for c in coeffs],
+      *[t.reshape(view) for t in tensors])
+    return out.reshape(x.shape)
+
+
 def _pick_rows(n: int) -> int | None:
     """View the flat per-item vector as [rows, 128] and pick a row-block
     that satisfies TPU tiling: the whole `rows` (block dim == array dim is
@@ -90,23 +132,6 @@ def _axby_kernel(a_ref, b_ref, x_ref, f_ref, o_ref):
                 + b * f_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-def _axby_pallas(xf, ff, a1, b1, block_r, interpret):
-    B, rows, _ = xf.shape
-    return pl.pallas_call(
-        _axby_kernel,
-        grid=(B, rows // block_r),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, block_r, 128), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, block_r, 128), lambda i, j: (i, j, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_r, 128), lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct(xf.shape, xf.dtype),
-        interpret=interpret,
-    )(a1, b1, xf, ff)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def fused_axby(x, f, a, b, interpret=None):
     """out = a[batch]·x + b[batch]·f, f32 math, output in x.dtype.
@@ -117,22 +142,9 @@ def fused_axby(x, f, a, b, interpret=None):
 
 
 def _axby_impl(x, f, a, b, interpret):
-    if interpret is None:
-        interpret = INTERPRET
-    on_tpu = _HAS_PALLAS and jax.default_backend() in ("tpu", "axon")
-    n = 1
-    for s in x.shape[1:]:
-        n *= s
-    block_r = _pick_rows(n) if (on_tpu or interpret) else None
-    if block_r is None:
-        return _xla_axby(x, f, a, b)
-    B = x.shape[0]
-    xf = x.reshape(B, n // 128, 128)
-    ff = f.reshape(B, n // 128, 128)
-    a1 = _norm_coeff(a, B)
-    b1 = _norm_coeff(b, B)
-    out = _axby_pallas(xf, ff, a1, b1, block_r, interpret)
-    return out.reshape(x.shape)
+    return _flat_dispatch(
+        (x, f), (a, b), _axby_kernel,
+        lambda x, f, a, b: _xla_axby(x, f, a, b), interpret)
 
 
 def _axby_fwd(x, f, a, b, interpret):
@@ -147,15 +159,8 @@ def _axby_bwd(interpret, res, g):
     bc = (B,) + (1,) * (x.ndim - 1)
     dx = (_norm_coeff(a, B).reshape(bc) * gf32).astype(x.dtype)
     df = (_norm_coeff(b, B).reshape(bc) * gf32).astype(f.dtype)
-
-    def coeff_grad(val, coeff):
-        coeff = jnp.asarray(coeff)
-        d = jnp.sum(gf32 * val.astype(jnp.float32), axis=red)  # [B]
-        if coeff.size != B:  # scalar / [1] coefficient was broadcast
-            d = jnp.sum(d, keepdims=coeff.ndim > 0)
-        return d.reshape(coeff.shape).astype(coeff.dtype)
-
-    return dx, df, coeff_grad(x, a), coeff_grad(f, b)
+    return (dx, df, _coeff_grad(gf32, x, a, B, red),
+            _coeff_grad(gf32, f, b, B, red))
 
 
 fused_axby.defvjp(_axby_fwd, _axby_bwd)
@@ -214,34 +219,10 @@ def fused_lincomb3(x, f, g, a, b, c, interpret=None):
 
 
 def _lincomb3_impl(x, f, g, a, b, c, interpret):
-    if interpret is None:
-        interpret = INTERPRET
-    on_tpu = _HAS_PALLAS and jax.default_backend() in ("tpu", "axon")
-    n = 1
-    for s in x.shape[1:]:
-        n *= s
-    block_r = _pick_rows(n) if (on_tpu or interpret) else None
-    if block_r is None:
-        return _xla_lincomb3(x, f, g, a, b, c)
-    B = x.shape[0]
-    view = (B, n // 128, 128)
-    out = pl.pallas_call(
-        _lincomb3_kernel,
-        grid=(B, (n // 128) // block_r),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, block_r, 128), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, block_r, 128), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, block_r, 128), lambda i, j: (i, j, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_r, 128), lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct(view, x.dtype),
-        interpret=interpret,
-    )(_norm_coeff(a, B), _norm_coeff(b, B), _norm_coeff(c, B),
-      x.reshape(view), f.reshape(view), g.reshape(view))
-    return out.reshape(x.shape)
+    return _flat_dispatch(
+        (x, f, g), (a, b, c), _lincomb3_kernel,
+        lambda x, f, g, a, b, c: _xla_lincomb3(x, f, g, a, b, c),
+        interpret)
 
 
 def _lincomb3_fwd(x, f, g, a, b, c, interpret):
@@ -255,17 +236,12 @@ def _lincomb3_bwd(interpret, res, grad):
     red = tuple(range(1, x.ndim))
     bc = (B,) + (1,) * (x.ndim - 1)
 
-    def dcoeff(val, coeff):
-        coeff = jnp.asarray(coeff)
-        d = jnp.sum(gf32 * val.astype(jnp.float32), axis=red)
-        if coeff.size != B:
-            d = jnp.sum(d, keepdims=coeff.ndim > 0)
-        return d.reshape(coeff.shape).astype(coeff.dtype)
-
     return ((_norm_coeff(a, B).reshape(bc) * gf32).astype(x.dtype),
             (_norm_coeff(b, B).reshape(bc) * gf32).astype(f.dtype),
             (_norm_coeff(c, B).reshape(bc) * gf32).astype(g.dtype),
-            dcoeff(x, a), dcoeff(f, b), dcoeff(g, c))
+            _coeff_grad(gf32, x, a, B, red),
+            _coeff_grad(gf32, f, b, B, red),
+            _coeff_grad(gf32, g, c, B, red))
 
 
 fused_lincomb3.defvjp(_lincomb3_fwd, _lincomb3_bwd)

@@ -179,6 +179,15 @@ class PUNetG(nn.Module):
                 ye = y
             if ye.ndim > te.ndim:
                 # spatially-varying condition: lift te to [B, 1.., C]
+                if cfg.space_to_depth > 1 and \
+                        ye.shape[1:-1] != x.shape[1:-1]:
+                    raise ValueError(
+                        "space_to_depth>1 folds x to "
+                        f"{x.shape[1:-1]} but the spatially-varying "
+                        f"condition embedding is {ye.shape[1:-1]}; fold "
+                        "the conditioning to the same resolution (e.g. "
+                        "utils.space_to_depth) or use a non-spatial "
+                        "embedding")
                 te = te.reshape(
                     (te.shape[0],) + (1,) * (ye.ndim - te.ndim) + te.shape[1:])
             if cfg.cond_drop and cfg.cond_drop > 0:

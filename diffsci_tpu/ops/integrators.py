@@ -186,10 +186,13 @@ class DPMSolverPlusPlus2M(Integrator):
         h = (jnp.log(jnp.maximum(sigma, eps))
              - jnp.log(jnp.maximum(sigma_next, eps)))
         r = carry["h_prev"] / jnp.maximum(h, eps)
-        # first step AND the final step to sigma=0 are first-order
-        # (k-diffusion's sigma_next == 0 guard): with sigma_next = 0,
-        # h blows up and 1/(2r) would amplify D - D_prev noise
-        use_2m = jnp.logical_and(carry["has_prev"] > 0, sigma_next > 0)
+        # drop to first order on: the first step; the final step to
+        # sigma=0 (k-diffusion's guard — h blows up and 1/(2r) amplifies
+        # D - D_prev noise); and any non-decreasing-sigma step (forward
+        # propagation has h < 0, where the clamped 1/(2r) would be ~5e19
+        # and produce NaN — first-order per step is exact DDIM inversion)
+        use_2m = (carry["has_prev"] > 0) & (sigma_next > 0) & (h > eps) \
+            & (carry["h_prev"] > eps)
         coef = jnp.where(use_2m, 1.0 / (2.0 * jnp.maximum(r, eps)), 0.0)
         d_tilde = (1.0 + coef) * d - coef * carry["d_prev"]
         x_next = ratio * x + (1.0 - ratio) * d_tilde

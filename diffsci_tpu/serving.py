@@ -50,10 +50,11 @@ class SamplerService:
         self.nsteps = nsteps
         self.sample_kwargs = dict(sample_kwargs or {})
         self._key = jax.random.PRNGKey(seed)
-        self._lock = threading.Lock()
+        self._lock = threading.Lock()        # PRNG + stats
+        self._warm_lock = threading.Lock()   # one-time warmup
         self._compiled: dict[int, object] = {}
         self.stats = {"requests": 0, "samples": 0, "padded": 0,
-                      "chunks": 0, "device_seconds": 0.0}
+                      "chunks": 0, "wall_seconds": 0.0}
 
     # ------------------------------------------------------------------
     def warmup(self, verbose: bool = False) -> dict[int, float]:
@@ -86,6 +87,15 @@ class SamplerService:
         self._next_key()
         return times
 
+    def _ensure_warm(self):
+        """Thread-safe lazy warmup: concurrent first callers must not see
+        a partially-populated executable dict."""
+        if set(self._compiled) == set(self.batch_buckets):
+            return
+        with self._warm_lock:
+            if set(self._compiled) != set(self.batch_buckets):
+                self.warmup()
+
     def _bucket(self, n: int) -> int:
         for b in self.batch_buckets:
             if b >= n:
@@ -100,30 +110,50 @@ class SamplerService:
     # ------------------------------------------------------------------
     def sample(self, nsamples: int, key=None) -> np.ndarray:
         """Generate ``nsamples`` images. Requests above the largest bucket
-        are chunked; others are padded up to the nearest bucket."""
-        if not self._compiled:
-            self.warmup()
-        out = []
+        are chunked; others are padded up to the nearest bucket.
+
+        With an explicit ``key`` the full request is deterministic
+        regardless of chunking: chunk keys are split from it rather than
+        drawn from service state."""
+        self._ensure_warm()
+        # plan chunks up front so explicit-key requests stay reproducible
+        sizes = []
         remaining = nsamples
-        t0 = time.perf_counter()
         while remaining > 0:
             n = min(remaining, self.batch_buckets[-1])
+            sizes.append(n)
+            remaining -= n
+        if not sizes:
+            probe = self._compiled[self.batch_buckets[0]]
+            shape = (0,) + tuple(self.shape)
+            return np.zeros(shape, getattr(probe, "out_dtype", np.float32))
+        if key is not None:
+            keys = list(jax.random.split(key, len(sizes)))
+        else:
+            keys = [self._next_key() for _ in sizes]
+
+        out = []
+        t0 = time.perf_counter()
+        for n, sub in zip(sizes, keys):
             b = self._bucket(n)
-            sub = key if (key is not None and not out) else self._next_key()
             chunk = self._compiled[b](self.variables, sub)
             jax.block_until_ready(chunk)
             out.append(np.asarray(chunk[:n]))
-            self.stats["chunks"] += 1
-            self.stats["padded"] += b - n
-            remaining -= n
-        self.stats["requests"] += 1
-        self.stats["samples"] += nsamples
-        self.stats["device_seconds"] += time.perf_counter() - t0
+            with self._lock:
+                self.stats["chunks"] += 1
+                self.stats["padded"] += b - n
+        wall = time.perf_counter() - t0
+        with self._lock:
+            self.stats["requests"] += 1
+            self.stats["samples"] += nsamples
+            self.stats["wall_seconds"] += wall
         return np.concatenate(out, axis=0)
 
     # ------------------------------------------------------------------
     def throughput(self) -> float:
-        """Lifetime samples/second (device time only)."""
-        if self.stats["device_seconds"] == 0:
+        """Lifetime samples per wall-second spent inside sample()
+        (includes device-to-host copies; concurrent requests overlap, so
+        this under-reports pure device throughput under load)."""
+        if self.stats["wall_seconds"] == 0:
             return 0.0
-        return self.stats["samples"] / self.stats["device_seconds"]
+        return self.stats["samples"] / self.stats["wall_seconds"]

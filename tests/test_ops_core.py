@@ -347,3 +347,17 @@ def test_dpmpp2m_in_karras_model_sampler():
                        integrator="dpmpp2m")
     assert out.shape == (4, 2)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_dpmpp2m_forward_propagation_finite():
+    """Forward propagation has h < 0 per step; the 2M correction must
+    drop to first order instead of producing NaN (review finding)."""
+    ds = data.ZeroMeanGaussianDataset(num_samples=64, shape=[2])
+    sched = ops.EDMScheduler()
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 2))
+    out = sched.propagate_forward(
+        jax.random.PRNGKey(1), x, lambda z, s: ds.gradlogprob(z, s),
+        nsteps=16, integrator="dpmpp2m")
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # forward end state ~ sigma_max-scale noise
+    assert float(jnp.std(out)) > 10.0

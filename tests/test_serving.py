@@ -50,3 +50,21 @@ def test_deterministic_with_explicit_key():
     a = svc1.sample(2, key=k)
     b = svc2.sample(2, key=k)
     np.testing.assert_array_equal(a, b)
+
+
+def test_sample_zero_returns_empty():
+    svc = _service()
+    out = svc.sample(0)
+    assert out.shape == (0, 2)
+    assert svc.stats["chunks"] == 0
+
+
+def test_explicit_key_deterministic_across_chunks():
+    """A chunked request with an explicit key must be reproducible end to
+    end even when the services' internal PRNG states differ."""
+    svc1, svc2 = _service(), _service()
+    svc2.sample(5)  # advance svc2's internal key state
+    k = jax.random.PRNGKey(7)
+    a = svc1.sample(10, key=k)   # 4+4+2: three chunks
+    b = svc2.sample(10, key=k)
+    np.testing.assert_array_equal(a, b)
