@@ -10,7 +10,8 @@ from diffsci_tpu.models import sde
 from diffsci_tpu.models import regression
 from diffsci_tpu.models.regression import ForecastModel, ForecastModelConfig
 from diffsci_tpu.models.karras import (
-    KarrasModel, KarrasModelConfig, EMATracker, TrainState,
+    KarrasModel, KarrasModelConfig, karras_model_from_description,
+    EMATracker, TrainState,
     create_train_state, make_train_step, make_eval_step,
     default_optimizer, schedule_free_optimizer, schedule_free_eval_params,
 )
@@ -20,7 +21,8 @@ from diffsci_tpu.models.nets import (
 
 __all__ = [
     "nets", "karras",
-    "KarrasModel", "KarrasModelConfig", "EMATracker", "TrainState",
+    "KarrasModel", "KarrasModelConfig", "karras_model_from_description",
+    "EMATracker", "TrainState",
     "create_train_state", "make_train_step", "make_eval_step",
     "default_optimizer", "schedule_free_optimizer",
     "schedule_free_eval_params",

@@ -3,6 +3,7 @@
 from diffsci_tpu.models.karras.module import (
     KarrasModel,
     KarrasModelConfig,
+    karras_model_from_description,
     KarrasNet,
     DynamicLossWeight,
 )
@@ -43,7 +44,8 @@ from diffsci_tpu.models.karras.train import (
 )
 
 __all__ = [
-    "KarrasModel", "KarrasModelConfig", "KarrasNet", "DynamicLossWeight",
+    "KarrasModel", "KarrasModelConfig", "karras_model_from_description",
+    "KarrasNet", "DynamicLossWeight",
     "EnsembleKarrasModel", "EnsembleKarrasModelConfig",
     "make_ensemble_train_step", "scheduled_replay_weight",
     "l2_sp_regularization", "select_regularization_reference",

@@ -716,11 +716,13 @@ class KarrasModel:
         return x, y, mask
 
     def export_description(self) -> dict[str, Any]:
+        net_export = getattr(self.model, "export_description", None)
         return dict(config_description=self.config.export_description(),
                     conditional=self.conditional, masked=self.masked,
                     autoencoder=self.autoencoder is not None,
                     autoencoder_conditional=self.autoencoder_conditional,
-                    encode_y=self.encode_y)
+                    encode_y=self.encode_y,
+                    net=net_export() if net_export else None)
 
 
 def _needs_unsqueeze(y, x) -> bool:
@@ -746,3 +748,27 @@ def _merge_variables(base: dict, extra: dict) -> dict:
         else:
             out[col] = tree
     return out
+
+
+def karras_model_from_description(description: dict,
+                                  conditional_embedding=None,
+                                  **model_kwargs) -> "KarrasModel":
+    """Rebuild a PUNetG-backed KarrasModel from a saved checkpoint
+    description (the declarative counterpart of the reference loader's
+    ``eval``-based reconstruction, loader.py:32). Handles both
+    description shapes in the wild: ``net = {"config": {...}, ...}``
+    (PUNetG.export_description) and a bare PUNetGConfig kwargs dict."""
+    from diffsci_tpu.models.nets.punetg import PUNetG, PUNetGConfig
+
+    net_desc = description.get("net") or {}
+    cfg_kwargs = net_desc.get("config", net_desc)
+    net = PUNetG(PUNetGConfig.from_description(cfg_kwargs),
+                 conditional_embedding=conditional_embedding)
+    kcfg = KarrasModelConfig.load_from_description_with_tag(
+        description["config_description"])
+    return KarrasModel(
+        net, kcfg,
+        conditional=description.get("conditional", False),
+        masked=description.get("masked", False),
+        encode_y=description.get("encode_y", False),
+        **model_kwargs)

@@ -57,6 +57,41 @@ class SamplerService:
                       "chunks": 0, "wall_seconds": 0.0}
 
     # ------------------------------------------------------------------
+    @classmethod
+    def from_checkpoint(cls, path, shape: Sequence[int],
+                        ema_stds: Sequence[float] = (0.05, 0.1),
+                        ema_profile: int | None = 0,
+                        **service_kwargs) -> "SamplerService":
+        """Build a ready-to-warm service straight from a training
+        checkpoint directory (description.json + orbax state, as written
+        by the training scripts). ``ema_stds`` must match the profiles
+        the run trained with (scripts default [0.05, 0.1]); pass
+        ``ema_profile=None`` to serve raw weights."""
+        import jax.random as jrandom
+        from diffsci_tpu.checkpoint import (load_description,
+                                            restore_checkpoint)
+        from diffsci_tpu.models import (EMATracker, create_train_state,
+                                        karras_model_from_description)
+
+        desc = load_description(path)
+        if not desc:
+            raise FileNotFoundError(f"no description.json under {path}")
+        model = karras_model_from_description(desc)
+        tracker = (EMATracker(ema_type="power",
+                              power_function_stds=list(ema_stds))
+                   if ema_stds else None)
+        template, _ = create_train_state(
+            model, jrandom.PRNGKey(0), (2,) + tuple(shape),
+            ema=tracker)
+        state = restore_checkpoint(path, template)
+        if tracker is not None and ema_profile is not None:
+            variables = state.ema_variables(tracker,
+                                            profile_index=ema_profile)
+        else:
+            variables = state.variables()
+        return cls(model, variables, shape, **service_kwargs)
+
+    # ------------------------------------------------------------------
     def warmup(self, verbose: bool = False) -> dict[int, float]:
         """AOT-compile one executable per batch bucket AND execute each
         once (discarded): the first invocation of a compiled executable

@@ -92,7 +92,8 @@ def main():
                                     create_train_state)
 
     desc = load_description(args.ckpt) or {}
-    net_desc = desc.get("net", {})
+    net_desc = desc.get("net") or {}
+    net_desc = net_desc.get("config", net_desc)  # both description shapes
     cfg = PUNetGConfig(**net_desc) if net_desc else PUNetGConfig(
         model_channels=args.channels, channel_expansion=[2, 4])
     model = KarrasModel(PUNetG(cfg), KarrasModelConfig.from_edm())

@@ -68,3 +68,30 @@ def test_explicit_key_deterministic_across_chunks():
     a = svc1.sample(10, key=k)   # 4+4+2: three chunks
     b = svc2.sample(10, key=k)
     np.testing.assert_array_equal(a, b)
+
+
+def test_from_checkpoint_roundtrip(tmp_path):
+    """Train-script-style checkpoint -> SamplerService.from_checkpoint ->
+    deterministic sampling (the production loop: registry/description ->
+    rebuilt model -> restored EMA weights -> AOT service)."""
+    from diffsci_tpu.checkpoint import save_checkpoint
+    from diffsci_tpu.models import (EMATracker, PUNetG, PUNetGConfig,
+                                    KarrasModel, KarrasModelConfig,
+                                    create_train_state)
+
+    net = PUNetG(PUNetGConfig(model_channels=4, channel_expansion=[2]))
+    model = KarrasModel(net, KarrasModelConfig.from_edm())
+    ema = EMATracker(ema_type="power", power_function_stds=[0.05, 0.1])
+    state, _ = create_train_state(model, jax.random.PRNGKey(0),
+                                  (2, 8, 8, 1), ema=ema)
+    save_checkpoint(tmp_path / "ckpt", state,
+                    description=model.export_description())
+
+    svc = SamplerService.from_checkpoint(tmp_path / "ckpt", (8, 8, 1),
+                                         batch_buckets=(2,), nsteps=3)
+    out = svc.sample(3, key=jax.random.PRNGKey(5))
+    assert out.shape == (3, 8, 8, 1)
+    assert np.all(np.isfinite(out))
+    # rebuilt model matches the original's description round-trip
+    desc = svc.model.export_description()
+    assert desc["net"]["config"]["model_channels"] == 4
