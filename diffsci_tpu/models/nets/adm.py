@@ -29,6 +29,7 @@ import flax.linen as nn
 
 from diffsci_tpu.models.nets import layers
 from diffsci_tpu.models.nets.attention import SpatialSelfAttention
+from diffsci_tpu.utils import tensor as tensor_utils
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,6 +63,9 @@ class ADMConfig:
     attn_heads: int = 1
     attn_type: str = "default"
     attn_backend: str = "xla"   # 'xla' | 'flash' (Pallas, large T)
+    # fold s^d spatial tiles into channels at input/output — the TPU
+    # lane-utilization lever for C<128 volumes (see PUNetGConfig)
+    space_to_depth: int = 1
     decoder_type: int = 1
 
     def __post_init__(self):
@@ -230,6 +234,8 @@ class ADM(nn.Module):
     def __call__(self, x, t=None, y=None, train: bool = False):
         cfg = self.config
         assert x.ndim == cfg.dimension + 2
+        if cfg.space_to_depth > 1:
+            x = tensor_utils.space_to_depth(x, cfg.space_to_depth)
 
         # --- embeddings ---
         if y is not None:
@@ -298,9 +304,13 @@ class ADM(nn.Module):
             else:
                 raise ValueError(f"Invalid decoder type {cfg.decoder_type}")
 
-        x = layers.conv_layer(cfg.convolution_type, cfg.output_channels,
+        s2d = cfg.space_to_depth
+        out_ch = cfg.output_channels * (s2d ** cfg.dimension)
+        x = layers.conv_layer(cfg.convolution_type, out_ch,
                               cfg.kernel_size, name="output_layer")(
                                   cfg.dimension)(x)
+        if s2d > 1:
+            x = tensor_utils.depth_to_space(x, s2d)
         return x
 
     def export_description(self) -> dict[str, Any]:

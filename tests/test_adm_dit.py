@@ -176,3 +176,20 @@ def test_adm_dit_flash_backend_parity():
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
                                rtol=2e-4, atol=2e-5)
     assert dit_f.export_description()["attn_backend"] == "flash"
+
+
+def test_adm_space_to_depth():
+    """Same TPU lever as PUNetG: fold spatial tiles into channels at the
+    input, unfold at the output — shapes round-trip in 2D and 3D."""
+    for dim, spatial in ((2, (16, 16)), (3, (8, 8, 8))):
+        cfg = ADMConfig(dimension=dim, model_channels=8,
+                        channel_expansion=[2], space_to_depth=2)
+        net = ADM(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2,) + spatial + (1,))
+        t = jnp.ones((2,))
+        vs = net.init(jax.random.PRNGKey(1), x, t)
+        out = net.apply(vs, x, t)
+        assert out.shape == x.shape
+        assert bool(jnp.all(jnp.isfinite(out)))
+    assert ADMConfig.from_description(
+        cfg.export_description()).space_to_depth == 2
