@@ -473,3 +473,19 @@ def test_stochasticity_sweep_artifact_shape():
     assert fids[best] < fids[0] * 0.85       # clearly beats near-ODE
     assert fids[-1] > fids[best] * 1.5       # extreme churn degrades
     assert gammas == sorted(gammas)
+
+
+def test_sampler_comparison_artifact_claims():
+    """Committed DPM-Solver++(2M) low-NFE artifact: the multistep sampler
+    must beat Euler at matched NFE on the trained-shapes run.
+    Regenerate with scripts/sampler_comparison.py on TPU."""
+    import json
+    import pathlib
+
+    path = (pathlib.Path(__file__).parents[1]
+            / "docs" / "artifacts" / "sampler_comparison.json")
+    art = json.loads(path.read_text())
+    assert all(art["claims"].values()), art["claims"]
+    r = art["results"]
+    assert r["dpmpp2m@10"]["fid"] < r["euler@10"]["fid"]
+    assert r["dpmpp2m@20"]["fid"] < r["euler@20"]["fid"]
