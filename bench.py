@@ -131,10 +131,15 @@ def main():
                            channel_expansion=[2], num_heads=2,
                            attn_backend="xla")
     vol_flash = dataclasses_replace(vol_xla, attn_backend="flash")
+    # space_to_depth folds 2^3 voxel tiles into channels: the C<128
+    # lane-padding fix (docs/design.md) — measured 4.4x over vol_flash
+    vol_s2d = dataclasses_replace(vol_flash, space_to_depth=2)
     vol_ips_xla = _train_throughput(vol_xla, batch=4, spatial=(32, 32, 32),
                                     steps=20)
     vol_ips_flash = _train_throughput(vol_flash, batch=4,
                                       spatial=(32, 32, 32), steps=20)
+    vol_ips_s2d = _train_throughput(vol_s2d, batch=4,
+                                    spatial=(32, 32, 32), steps=20)
 
     # --- vs_baseline: relative to the first recorded run of this build ---
     hist_path = pathlib.Path(__file__).parent / "bench_history.json"
@@ -159,6 +164,7 @@ def main():
         "vol3d_32c_attn4096_xla_items_per_sec": round(float(vol_ips_xla), 3),
         "vol3d_32c_attn4096_flash_items_per_sec": round(
             float(vol_ips_flash), 3),
+        "vol3d_32c_s2d2_items_per_sec": round(float(vol_ips_s2d), 3),
         "batch": BATCH,
         "n_chips": n_chips,
         "device": str(jax.devices()[0]),
