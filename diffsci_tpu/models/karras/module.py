@@ -752,16 +752,39 @@ def _merge_variables(base: dict, extra: dict) -> dict:
 
 def karras_model_from_description(description: dict,
                                   conditional_embedding=None,
+                                  autoencoder=None,
                                   **model_kwargs) -> "KarrasModel":
     """Rebuild a PUNetG-backed KarrasModel from a saved checkpoint
     description (the declarative counterpart of the reference loader's
     ``eval``-based reconstruction, loader.py:32). Handles both
     description shapes in the wild: ``net = {"config": {...}, ...}``
-    (PUNetG.export_description) and a bare PUNetGConfig kwargs dict."""
+    (PUNetG.export_description) and a bare PUNetGConfig kwargs dict.
+
+    Raises clearly for what it cannot reconstruct from a description
+    alone: a missing net entry (pre-round-2 checkpoints — re-export),
+    a conditional embedding (pass the module via
+    ``conditional_embedding``), and a bound autoencoder (pass it via
+    ``autoencoder`` — AE weights live outside the diffusion TrainState).
+    """
     from diffsci_tpu.models.nets.punetg import PUNetG, PUNetGConfig
 
     net_desc = description.get("net") or {}
     cfg_kwargs = net_desc.get("config", net_desc)
+    if not cfg_kwargs:
+        raise ValueError(
+            "description has no net config (checkpoints saved before the "
+            "descriptions became self-contained); rebuild the net "
+            "explicitly or re-export the description")
+    if net_desc.get("has_conditional_embedding")             and conditional_embedding is None:
+        raise ValueError(
+            "checkpoint was trained with a conditional embedding; pass "
+            "the embedding module via conditional_embedding= (its config "
+            "is in description['net']['conditional_embedding_args'])")
+    if description.get("autoencoder") and autoencoder is None:
+        raise ValueError(
+            "checkpoint is a latent-diffusion model; pass the bound "
+            "autoencoder via autoencoder= (its weights are not part of "
+            "the diffusion TrainState)")
     net = PUNetG(PUNetGConfig.from_description(cfg_kwargs),
                  conditional_embedding=conditional_embedding)
     kcfg = KarrasModelConfig.load_from_description_with_tag(
@@ -771,4 +794,5 @@ def karras_model_from_description(description: dict,
         conditional=description.get("conditional", False),
         masked=description.get("masked", False),
         encode_y=description.get("encode_y", False),
+        autoencoder=autoencoder,
         **model_kwargs)

@@ -92,11 +92,15 @@ def main():
                                     create_train_state)
 
     desc = load_description(args.ckpt) or {}
-    net_desc = desc.get("net") or {}
-    net_desc = net_desc.get("config", net_desc)  # both description shapes
-    cfg = PUNetGConfig(**net_desc) if net_desc else PUNetGConfig(
-        model_channels=args.channels, channel_expansion=[2, 4])
-    model = KarrasModel(PUNetG(cfg), KarrasModelConfig.from_edm())
+    if desc.get("net"):
+        # self-contained description: rebuild net AND math config (a VP/VE
+        # checkpoint scored under an EDM preconditioner would be wrong)
+        from diffsci_tpu.models import karras_model_from_description
+        model = karras_model_from_description(desc)
+    else:
+        cfg = PUNetGConfig(model_channels=args.channels,
+                           channel_expansion=[2, 4])
+        model = KarrasModel(PUNetG(cfg), KarrasModelConfig.from_edm())
     # template must mirror the training state structure
     # (scripts/train_diffusion_mnist.py: power EMA [0.05, 0.1])
     tracker = EMATracker(ema_type="power",

@@ -62,7 +62,7 @@ def main():
     ema = EMATracker(ema_type="power", power_function_stds=[0.05])
     state, trainer = fit_karras(
         model, xs, batch_size=128,
-        max_epochs=max(1, args.steps // max(1, len(xs) // 128)),
+        max_epochs=args.steps,  # outer bound only; max_steps terminates
         max_steps=args.steps, ema=ema, val_fraction=0.05,
         log_dir="runs/stochasticity_study")
     print(f"trained to step {int(state.step)}")

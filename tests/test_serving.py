@@ -95,3 +95,24 @@ def test_from_checkpoint_roundtrip(tmp_path):
     # rebuilt model matches the original's description round-trip
     desc = svc.model.export_description()
     assert desc["net"]["config"]["model_channels"] == 4
+
+
+def test_from_checkpoint_clear_errors(tmp_path):
+    """Unserveable checkpoints fail loudly at rebuild time, not with an
+    opaque orbax structure error (review findings)."""
+    import pytest as _pytest
+    from diffsci_tpu.models import karras_model_from_description
+
+    with _pytest.raises(ValueError, match="no net config"):
+        karras_model_from_description({"config_description":
+                                       {"tag": "edm", "extra_args": {}}})
+    desc = {"config_description": {"tag": "edm", "extra_args": {}},
+            "net": {"config": {"model_channels": 4},
+                    "has_conditional_embedding": True}}
+    with _pytest.raises(ValueError, match="conditional embedding"):
+        karras_model_from_description(desc)
+    desc2 = {"config_description": {"tag": "edm", "extra_args": {}},
+             "net": {"config": {"model_channels": 4}},
+             "autoencoder": True}
+    with _pytest.raises(ValueError, match="autoencoder"):
+        karras_model_from_description(desc2)
