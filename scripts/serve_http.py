@@ -1,0 +1,90 @@
+"""Minimal HTTP sampling server over SamplerService (stdlib only).
+
+A complete, dependency-free example of deploying a trained checkpoint:
+
+    python scripts/serve_http.py --ckpt runs/mnist-edm/ckpt \
+        --shape 28 28 1 [--port 8000] [--buckets 8 64] [--nsteps 18]
+
+Endpoints:
+    GET  /healthz          -> {"ok": true, "warm": true}
+    GET  /stats            -> service counters + lifetime throughput
+    POST /sample           -> body {"nsamples": N, "seed": optional int}
+                              response {"shape": [...], "samples": [...]}
+
+The service AOT-compiles and executes every batch bucket at startup, so
+the first request is already at steady-state latency (serving.py). The
+handler is intentionally synchronous: JAX serializes device work anyway,
+and SamplerService.sample is thread-safe for the threaded server.
+"""
+
+import argparse
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--shape", type=int, nargs="+", required=True,
+                    help="sample shape without batch dim, e.g. 28 28 1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--buckets", type=int, nargs="+", default=[8, 64])
+    ap.add_argument("--nsteps", type=int, default=18)
+    ap.add_argument("--ema-stds", type=float, nargs="*", default=[0.05])
+    args = ap.parse_args()
+
+    import jax
+    from diffsci_tpu.serving import SamplerService
+
+    svc = SamplerService.from_checkpoint(
+        args.ckpt, tuple(args.shape),
+        ema_stds=args.ema_stds or None,
+        batch_buckets=tuple(args.buckets), nsteps=args.nsteps)
+    print("warming up...", flush=True)
+    times = svc.warmup(verbose=True)
+    print(f"ready on :{args.port} (warmup {times})", flush=True)
+
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True, "warm": True})
+            elif self.path == "/stats":
+                self._json(200, dict(svc.stats,
+                                     throughput=svc.throughput()))
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/sample":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                nsamples = int(req.get("nsamples", 1))
+                if not 0 <= nsamples <= 4096:
+                    raise ValueError("nsamples out of range [0, 4096]")
+                key = (jax.random.PRNGKey(int(req["seed"]))
+                       if "seed" in req else None)
+                out = svc.sample(nsamples, key=key)
+                self._json(200, {"shape": list(out.shape),
+                                 "samples": out.tolist()})
+            except Exception as e:  # surface as a 400, keep serving
+                self._json(400, {"error": str(e)})
+
+        def log_message(self, fmt, *a):  # quiet default access log
+            pass
+
+    ThreadingHTTPServer(("", args.port), Handler).serve_forever()
+
+
+if __name__ == "__main__":
+    main()
