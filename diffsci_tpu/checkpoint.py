@@ -130,9 +130,12 @@ class CheckpointManager:
         tracking for the rest of the run."""
         if metrics is not None:
             metrics = {k: float(v) for k, v in metrics.items()}
+            # finish any in-flight async save FIRST so it is visible to the
+            # duplicate-step check below; checking all_steps() while a
+            # metricless save at the same step is still in flight would
+            # miss it and let orbax silently drop this metric save
+            self._mgr.wait_until_finished()
             if step in (self._mgr.all_steps() or []):
-                # finish any in-flight async save before deleting it
-                self._mgr.wait_until_finished()
                 self._mgr.delete(step)
             if step in self._cadence_steps:
                 self._cadence_steps.remove(step)

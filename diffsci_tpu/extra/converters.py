@@ -192,6 +192,56 @@ _PUNETG_RESBLOCK_LEAVES = {
     "timeblock.net.4.bias": "ResnetTimeBlock_0/Dense_2/bias",
 }
 
+def migrate_dit_attention_params(params: Any) -> Any:
+    """One-time migration for DiT checkpoints saved before DiTBlock
+    switched from ``flax.linen.MultiHeadDotProductAttention`` to the
+    in-house per-head ``MultiHeadAttention`` (models/nets/dit.py:88-90).
+
+    Rewrites every ``MultiHeadDotProductAttention_<i>`` scope into the
+    equivalent ``MultiHeadAttention_<i>`` scope:
+
+    - query/key/value kernel [C, H, dh]  ->  w_q/w_k/w_v [H, C, dh]
+    - out kernel             [H, dh, C]  ->  w_o         [H, C, dh]
+    - query/key/value bias   [H, dh]     ->  bias_q/k/v  [H, 1, dh]
+    - out bias               [C]         ->  bias_o      [C]
+
+    Numerically exact: both modules compute the same projections, only
+    the parameter layout differs. Returns a new tree; non-attention
+    scopes pass through untouched.
+    """
+    _scope = re.compile(r"^MultiHeadDotProductAttention_(\d+)$")
+
+    def convert_scope(old):
+        new = {}
+        for proj, wname, bname in (("query", "w_q", "bias_q"),
+                                   ("key", "w_k", "bias_k"),
+                                   ("value", "w_v", "bias_v")):
+            k = np.asarray(old[proj]["kernel"])          # [C, H, dh]
+            new[wname] = k.transpose(1, 0, 2)            # [H, C, dh]
+            if "bias" in old[proj]:
+                b = np.asarray(old[proj]["bias"])        # [H, dh]
+                new[bname] = b[:, None, :]               # [H, 1, dh]
+        k = np.asarray(old["out"]["kernel"])             # [H, dh, C]
+        new["w_o"] = k.transpose(0, 2, 1)                # [H, C, dh]
+        if "bias" in old["out"]:
+            new["bias_o"] = np.asarray(old["out"]["bias"])
+        return new
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for name, child in node.items():
+            m = _scope.match(name)
+            if m is not None:
+                out[f"MultiHeadAttention_{m.group(1)}"] = convert_scope(child)
+            else:
+                out[name] = walk(child)
+        return out
+
+    return walk(jax.tree.map(lambda x: x, params))
+
+
 # torch.nn.MultiheadAttention keys (reference NDimensionalAttention,
 # attention.py:8-102) are handled by ``import_reference_punetg``'s
 # pre-conversion, not by the leaf map.

@@ -84,10 +84,15 @@ def _flat_dispatch(tensors, coeffs, kernel, xla_fallback, interpret):
     n = 1
     for s in x.shape[1:]:
         n *= s
+    B = x.shape[0]
     block_r = _pick_rows(n) if (on_tpu or interpret) else None
     if block_r is None:
-        return xla_fallback(*tensors, *coeffs)
-    B = x.shape[0]
+        # Flat [B, N] view: this is the arm that was benchmarked (125.7 ->
+        # 72.3 ms at 28x28) — XLA keeps the flat layout, avoiding the
+        # 128-lane padding of the original broadcast shape (e.g. [B,H,W,1]).
+        flat = (B, n)
+        out = xla_fallback(*[t.reshape(flat) for t in tensors], *coeffs)
+        return out.reshape(x.shape)
     view = (B, n // 128, 128)
     spec = pl.BlockSpec((1, block_r, 128), lambda i, j: (i, j, 0))
     out = pl.pallas_call(

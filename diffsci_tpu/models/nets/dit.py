@@ -84,7 +84,10 @@ class DiTBlock(nn.Module):
         h = adaln_modulate(h, shift_msa, scale_msa)
         # one parameterization for both backends, so attn_backend is a
         # pure compute toggle: a checkpoint trained with 'xla' samples
-        # with 'flash' unchanged (same guarantee as ADM/PUNetG)
+        # with 'flash' unchanged (same guarantee as ADM/PUNetG).
+        # Checkpoints from before this module used flax's
+        # MultiHeadDotProductAttention (different param tree); migrate
+        # them once with extra.converters.migrate_dit_attention_params.
         from diffsci_tpu.models.nets.attention import MultiHeadAttention
         h = MultiHeadAttention(num_heads=self.nheads, use_bias=True,
                                backend=self.attn_backend)(h)

@@ -193,3 +193,36 @@ def test_adm_space_to_depth():
         assert bool(jnp.all(jnp.isfinite(out)))
     assert ADMConfig.from_description(
         cfg.export_description()).space_to_depth == 2
+
+
+def test_dit_attention_param_migration():
+    """migrate_dit_attention_params maps a pre-switch flax
+    MultiHeadDotProductAttention param tree onto the in-house
+    MultiHeadAttention layout with numerically identical outputs
+    (the one-time checkpoint migration, extra/converters.py)."""
+    from diffsci_tpu.extra.converters import migrate_dit_attention_params
+    from diffsci_tpu.models.nets.attention import MultiHeadAttention
+
+    C, H, T, B = 16, 4, 9, 2
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, C))
+
+    class OldBlock(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.MultiHeadDotProductAttention(
+                num_heads=H, qkv_features=C, out_features=C,
+                use_bias=True, deterministic=True)(x, x)
+
+    old = OldBlock()
+    old_vs = old.init(jax.random.PRNGKey(1), x)
+    # randomize biases so the bias mapping is actually exercised
+    old_params = jax.tree.map(
+        lambda p: jax.random.normal(jax.random.PRNGKey(2), p.shape) * 0.1
+        if p.ndim <= 2 else p, old_vs["params"])
+    ref = old.apply({"params": old_params}, x)
+
+    new = MultiHeadAttention(num_heads=H, use_bias=True)
+    migrated = migrate_dit_attention_params(old_params)
+    out = new.apply({"params": migrated["MultiHeadAttention_0"]}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
