@@ -340,3 +340,310 @@ def import_reference_punetg(state_dict: dict, dst_template: Any,
         name_map[path] = path
     return import_torch_state_dict(merged, name_map, dst_template,
                                    raw_keys=pre.keys())
+
+
+# ---------------------------------------------------------------------------
+# reference ADM state-dict import (adm.py:119-216)
+# ---------------------------------------------------------------------------
+_ADM_BLOCK_LEAVES = {
+    "norm1.weight": "GroupLNorm_0/scale",
+    "norm1.bias": "GroupLNorm_0/bias",
+    "norm2.weight": "GroupRMSNorm_0/scale",
+    "norm2.bias": "GroupRMSNorm_0/bias",
+    "conv1.weight": "Conv_0/kernel",
+    "conv1.bias": "Conv_0/bias",
+    "conv2.weight": "Conv_1/kernel",
+    "conv2.bias": "Conv_1/bias",
+    "convresidual.weight": "Conv_2/kernel",
+    "convresidual.bias": "Conv_2/bias",
+    "embed_linear.weight": "Dense_0/kernel",
+    "embed_linear.bias": "Dense_0/bias",
+}
+
+_ADM_SCOPE_RULES = [
+    (re.compile(r"^encoder\.layers\.(\d+)\.input_blocks\.(\d+)\.(.*)$"),
+     lambda m: (f"enc_{m.group(1)}_block_{m.group(2)}", m.group(3))),
+    (re.compile(r"^decoder\.layers\.(\d+)\.input_blocks\.(\d+)\.(.*)$"),
+     lambda m: (f"dec_{m.group(1)}_block_{m.group(2)}", m.group(3))),
+    (re.compile(r"^middle_block\.middle_blocks\.(\d+)\.(.*)$"),
+     lambda m: (f"mid_block_{m.group(1)}", m.group(2))),
+]
+
+
+def _mha_pre_convert(scope: str, rest: str, w: np.ndarray,
+                     num_heads: int) -> dict[str, np.ndarray]:
+    """torch.nn.MultiheadAttention leaf -> our per-head einsum MHA
+    tensors (models/nets/attention.py:91-114). ``scope`` is the flax
+    path of the MultiHeadAttention module."""
+    H = num_heads
+    pre = {}
+    if rest == "in_proj_weight":
+        C = w.shape[1]
+        dh = C // H
+        for i, nm in enumerate(("q", "k", "v")):
+            pre[f"{scope}/w_{nm}"] = \
+                w[i * C:(i + 1) * C].reshape(H, dh, C).transpose(0, 2, 1)
+    elif rest == "in_proj_bias":
+        C = w.shape[0] // 3
+        dh = C // H
+        for i, nm in enumerate(("q", "k", "v")):
+            pre[f"{scope}/bias_{nm}"] = \
+                w[i * C:(i + 1) * C].reshape(H, 1, dh)
+    elif rest == "out_proj.weight":
+        C = w.shape[0]
+        dh = C // H
+        pre[f"{scope}/w_o"] = w.reshape(C, H, dh).transpose(1, 0, 2)
+    elif rest == "out_proj.bias":
+        pre[f"{scope}/bias_o"] = w
+    else:
+        raise KeyError(f"unmapped attention leaf: {rest}")
+    return pre
+
+
+def import_reference_adm(state_dict: dict, dst_template: Any,
+                         num_heads: int = 1) -> Any:
+    """Import a reference ADM state dict (adm.py:119-216) into our ADM
+    variables (models/nets/adm.py). Covers the default-norm config
+    (first_norm='GroupLN', second_norm='GroupRMS'); attention middle
+    blocks go through the torch-MHA split (`_mha_pre_convert`)."""
+    name_map = {}
+    pre = {}
+    for key, w in state_dict.items():
+        if key == "time_embedding.projection.W":
+            name_map["buffers/time_embedding/GaussianFourierProjection_0/W"] \
+                = key
+            continue
+        m = re.match(r"^time_embedding\.mlp\.(\d)\.(weight|bias)$", key)
+        if m:
+            dense = {"0": "Dense_0", "2": "Dense_1"}[m.group(1)]
+            leaf = "kernel" if m.group(2) == "weight" else "bias"
+            name_map[f"params/time_embedding/{dense}/{leaf}"] = key
+            continue
+        m = re.match(r"^(input_layer|output_layer)\.(weight|bias)$", key)
+        if m:
+            leaf = "kernel" if m.group(2) == "weight" else "bias"
+            name_map[f"params/{m.group(1)}/{leaf}"] = key
+            continue
+        for pat, repl in _ADM_SCOPE_RULES:
+            mm = pat.match(key)
+            if mm is None:
+                continue
+            scope, rest = repl(mm)
+            am = re.match(r"^attn\.mhattn\.(.+)$", rest)
+            if am:
+                mha_scope = (f"params/{scope}/SpatialSelfAttention_0/"
+                             f"MultiHeadAttention_0")
+                pre.update(_mha_pre_convert(mha_scope, am.group(1),
+                                            np.asarray(w), num_heads))
+            elif rest in _ADM_BLOCK_LEAVES:
+                name_map[f"params/{scope}/{_ADM_BLOCK_LEAVES[rest]}"] = key
+            else:
+                raise KeyError(f"unmapped reference ADM key: {key}")
+            break
+        else:
+            raise KeyError(f"unmapped reference ADM key: {key}")
+    merged = dict(state_dict)
+    merged.update(pre)
+    for path in pre:
+        name_map[path] = path
+    return import_torch_state_dict(merged, name_map, dst_template,
+                                   raw_keys=pre.keys())
+
+
+# ---------------------------------------------------------------------------
+# reference AutoencoderKL / VAENet state-dict import
+# (autoencoderldm2d.py:552-631, vaenet.py:1231-1290)
+# ---------------------------------------------------------------------------
+_LDM_RESBLOCK_LEAVES = {
+    "norm1.weight": "GroupNorm_0/scale",
+    "norm1.bias": "GroupNorm_0/bias",
+    "conv1.weight": "Conv_0/kernel",
+    "conv1.bias": "Conv_0/bias",
+    "norm2.weight": "GroupNorm_1/scale",
+    "norm2.bias": "GroupNorm_1/bias",
+    "conv2.weight": "Conv_1/kernel",
+    "conv2.bias": "Conv_1/bias",
+    "nin_shortcut.weight": "Conv_2/kernel",
+    "nin_shortcut.bias": "Conv_2/bias",
+}
+
+_LDM_ATTN_DENSE = {"q": "Dense_0", "k": "Dense_1", "v": "Dense_2",
+                   "proj_out": "Dense_3"}
+
+
+def _ldm_attn_leaf(scope: str, rest: str, w: np.ndarray,
+                   pre: dict, name_map: dict, key: str):
+    """attn_1.{norm,q,k,v,proj_out} -> our LDMAttnBlock
+    (models/nets/vae.py:94-112). The torch q/k/v/proj_out are 1x1 convs;
+    ours are Dense: kernel [I, O] = W[:, :, 0, 0].T."""
+    m = re.match(r"^(norm|q|k|v|proj_out)\.(weight|bias)$", rest)
+    if not m:
+        raise KeyError(f"unmapped LDM attention key: {key}")
+    part, leaf = m.group(1), m.group(2)
+    if part == "norm":
+        name_map[f"{scope}/GroupNorm_0/" +
+                 ("scale" if leaf == "weight" else "bias")] = key
+        return
+    dense = _LDM_ATTN_DENSE[part]
+    if leaf == "weight":
+        w = np.asarray(w)
+        pre[f"{scope}/{dense}/kernel"] = \
+            w.reshape(w.shape[0], w.shape[1]).T
+    else:
+        name_map[f"{scope}/{dense}/bias"] = key
+
+
+def import_reference_autoencoderkl(state_dict: dict,
+                                   dst_template: Any) -> Any:
+    """Import a reference AutoencoderKL state dict
+    (autoencoderldm2d.py:552-631; the 3D port uses the same names) into
+    our AutoencoderKL variables (models/nets/vae.py:338+)."""
+    name_map = {}
+    pre = {}
+    for key, w in state_dict.items():
+        m = re.match(r"^(quant_conv|post_quant_conv)\.(weight|bias)$", key)
+        if m:
+            leaf = "kernel" if m.group(2) == "weight" else "bias"
+            name_map[f"params/{m.group(1)}/{leaf}"] = key
+            continue
+        m = re.match(r"^(encoder|decoder)\.(.*)$", key)
+        if not m:
+            raise KeyError(f"unmapped reference AutoencoderKL key: {key}")
+        side, rest = m.group(1), m.group(2)
+        base = f"params/{side}"
+        mm = re.match(r"^(conv_in|conv_out)\.(weight|bias)$", rest)
+        if mm:
+            leaf = "kernel" if mm.group(2) == "weight" else "bias"
+            name_map[f"{base}/{mm.group(1)}/{leaf}"] = key
+            continue
+        mm = re.match(r"^norm_out\.(weight|bias)$", rest)
+        if mm:
+            leaf = "scale" if mm.group(1) == "weight" else "bias"
+            name_map[f"{base}/norm_out/{leaf}"] = key
+            continue
+        mm = re.match(r"^(down|up)\.(\d+)\.block\.(\d+)\.(.*)$", rest)
+        if mm:
+            scope = f"{base}/{mm.group(1)}_{mm.group(2)}_block_{mm.group(3)}"
+            leaf = _LDM_RESBLOCK_LEAVES.get(mm.group(4))
+            if leaf is None:
+                raise KeyError(f"unmapped LDM block key: {key}")
+            name_map[f"{scope}/{leaf}"] = key
+            continue
+        mm = re.match(r"^(down|up)\.(\d+)\.(downsample|upsample)\.conv\."
+                      r"(weight|bias)$", rest)
+        if mm:
+            leaf = "kernel" if mm.group(4) == "weight" else "bias"
+            name_map[f"{base}/{mm.group(1)}_{mm.group(2)}_{mm.group(3)}"
+                     f"/Conv_0/{leaf}"] = key
+            continue
+        mm = re.match(r"^mid\.(block_[12])\.(.*)$", rest)
+        if mm:
+            leaf = _LDM_RESBLOCK_LEAVES.get(mm.group(2))
+            if leaf is None:
+                raise KeyError(f"unmapped LDM mid key: {key}")
+            name_map[f"{base}/mid_{mm.group(1)}/{leaf}"] = key
+            continue
+        mm = re.match(r"^mid\.attn_1\.(.*)$", rest)
+        if mm:
+            _ldm_attn_leaf(f"{base}/mid_attn", mm.group(1), w, pre,
+                           name_map, key)
+            continue
+        raise KeyError(f"unmapped reference AutoencoderKL key: {key}")
+    merged = dict(state_dict)
+    merged.update(pre)
+    for path in pre:
+        name_map[path] = path
+    return import_torch_state_dict(merged, name_map, dst_template,
+                                   raw_keys=pre.keys())
+
+
+def import_reference_vaenet(state_dict: dict, dst_template: Any,
+                            config) -> Any:
+    """Import a reference VAENet state dict (vaenet.py:1231-1290) into
+    our VAENet variables (models/nets/vaenet.py). The reference names
+    blocks down.i.block.j / mid.block_k / up.i.block.j; our encoder and
+    decoder auto-number blocks in call order (_StdResBlock_<k>), so the
+    correspondence is computed from the config here. Reference convs sit
+    inside a patched-conv wrapper: the trailing '.conv' scope is
+    stripped."""
+    cfg = config
+    enc_scope, dec_scope = {}, {}
+    k = 0
+    for i in range(cfg.num_resolutions):
+        for j in range(cfg.num_res_blocks):
+            enc_scope[f"down.{i}.block.{j}"] = f"_StdResBlock_{k}"
+            k += 1
+    enc_scope["mid.block_1"] = f"_StdResBlock_{k}"
+    enc_scope["mid.block_2"] = f"_StdResBlock_{k + 1}"
+    k = 0
+    dec_scope["mid.block_1"] = "_StdResBlock_0"
+    dec_scope["mid.block_2"] = "_StdResBlock_1"
+    k = 2
+    for i in reversed(range(cfg.num_resolutions)):
+        for j in range(cfg.num_res_blocks + 1):
+            dec_scope[f"up.{i}.block.{j}"] = f"_StdResBlock_{k}"
+            k += 1
+    n_down = 0
+    down_scope = {}
+    for i in range(cfg.num_resolutions - 1):
+        down_scope[f"down.{i}.downsample"] = f"LDMDownsample_{n_down}"
+        n_down += 1
+    n_up = 0
+    up_scope = {}
+    for i in reversed(range(1, cfg.num_resolutions)):
+        up_scope[f"up.{i}.upsample"] = f"LDMUpsample_{n_up}"
+        n_up += 1
+
+    name_map = {}
+    pre = {}
+    for key, w in state_dict.items():
+        m = re.match(r"^(encoder|decoder)\.(.*)$", key)
+        if not m:
+            raise KeyError(f"unmapped reference VAENet key: {key}")
+        side, rest = m.group(1), m.group(2)
+        base = f"params/{side}"
+        # strip wrapper scopes: every bare 'conv' segment (the patched-conv
+        # wrapper, plus the up/downsample module's own .conv attribute —
+        # they stack, e.g. 'up.1.upsample.conv.conv.weight')
+        rest = ".".join(s for s in rest.split(".") if s != "conv")
+        mm = re.match(r"^(conv_in|conv_out|quant_conv|post_quant_conv)\."
+                      r"(weight|bias)$", rest)
+        if mm:
+            leaf = "kernel" if mm.group(2) == "weight" else "bias"
+            name_map[f"{base}/{mm.group(1)}/{leaf}"] = key
+            continue
+        mm = re.match(r"^norm_out\.(weight|bias)$", rest)
+        if mm:
+            leaf = "scale" if mm.group(1) == "weight" else "bias"
+            name_map[f"{base}/GroupNorm_0/{leaf}"] = key
+            continue
+        mm = re.match(r"^((?:down|up)\.\d+\.block\.\d+|mid\.block_[12])"
+                      r"\.(.*)$", rest)
+        if mm:
+            scopes = enc_scope if side == "encoder" else dec_scope
+            scope = scopes[mm.group(1)]
+            leaf = _LDM_RESBLOCK_LEAVES.get(mm.group(2))
+            if leaf is None:
+                raise KeyError(f"unmapped VAENet block key: {key}")
+            name_map[f"{base}/{scope}/{leaf}"] = key
+            continue
+        mm = re.match(r"^((?:down|up)\.\d+\.(?:downsample|upsample))\."
+                      r"(weight|bias)$", rest)
+        if mm:
+            scopes = down_scope if side == "encoder" else up_scope
+            scope = scopes[mm.group(1)]
+            leaf = "kernel" if mm.group(2) == "weight" else "bias"
+            name_map[f"{base}/{scope}/Conv_0/{leaf}"] = key
+            continue
+        mm = re.match(r"^mid\.attn_1\.(.*)$", rest)
+        if mm:
+            _ldm_attn_leaf(f"{base}/mid_attn", mm.group(1), w, pre,
+                           name_map, key)
+            continue
+        raise KeyError(f"unmapped reference VAENet key: {key}")
+    merged = dict(state_dict)
+    merged.update(pre)
+    for path in pre:
+        name_map[path] = path
+    return import_torch_state_dict(merged, name_map, dst_template,
+                                   raw_keys=pre.keys())

@@ -408,8 +408,13 @@ class KarrasModel:
     # loss (karrasmodule.py:569-650)
     # ------------------------------------------------------------------
     def loss_fn(self, variables, key, x, sigma, y=None, mask=None,
-                train: bool = True):
-        """EDM training loss. Returns (loss, mutable_updates)."""
+                train: bool = True, eps=None):
+        """EDM training loss. Returns (loss, mutable_updates).
+
+        ``eps`` replays a fixed unit-noise draw in place of the key's
+        (reproducibility hook; the cross-framework loss parity tests use
+        it to feed the same noise to the reference's
+        karrasmodule.py:590-592 and to this function)."""
         knoise, kdrop, kenc = jax.random.split(key, 3)
         x_pixel = x
         mask_pixel = mask
@@ -417,8 +422,9 @@ class KarrasModel:
         x_latent, y, updates = self.encode(variables, x, y, key=kenc,
                                            train=train)
         sigma_b = bcast_right(sigma, x_latent)
-        noise = sigma_b * jax.random.normal(knoise, x_latent.shape,
-                                            x_latent.dtype)
+        if eps is None:
+            eps = jax.random.normal(knoise, x_latent.shape, x_latent.dtype)
+        noise = sigma_b * eps
         x_noised = x_latent + noise
         rngs = {"dropout": kdrop} if train else None
         denoiser, cnoise = self.get_denoiser(variables, x_noised, sigma, y,
@@ -466,9 +472,23 @@ class KarrasModel:
                maximum_batch_size: int | None = None,
                integrator=None, stochastic: bool = False,
                is_latent_shape: bool = False,
-               return_in_latent_space: bool = False):
+               return_in_latent_space: bool = False,
+               mesh=None):
         """Generate samples from white noise. ``shape`` is channels-last
-        without the batch dim (e.g. (28, 28, 1))."""
+        without the batch dim (e.g. (28, 28, 1)).
+
+        ``mesh``: a jax Mesh with a 'data' axis — shards the sample batch
+        over it (data-parallel sampling: the TPU analogue of the
+        reference's multi-GPU process-pool eval,
+        stochasticity_paper/scripts/test-diffusion-cifar10karras-colormap-
+        parallel.py:1-44). The noise is generated from the same key as the
+        single-device path, so DP sampling == single-device sampling up to
+        float reassociation; ``nsamples`` must be divisible by the data
+        axis size."""
+        if mesh is not None and nsamples % mesh.shape["data"] != 0:
+            raise ValueError(
+                f"nsamples={nsamples} not divisible by data axis size "
+                f"{mesh.shape['data']}")
         if maximum_batch_size is not None:
             outs = []
             for bs in get_minibatch_sizes(nsamples, maximum_batch_size):
@@ -476,13 +496,13 @@ class KarrasModel:
                 outs.append(self.sample(
                     variables, sub, bs, shape, y, guidance, nsteps,
                     record_history, None, integrator, stochastic,
-                    is_latent_shape, return_in_latent_space))
+                    is_latent_shape, return_in_latent_space, mesh))
             return jnp.concatenate(outs, axis=1 if record_history else 0)
 
         fn = self._jitted_sampler(
             nsamples, tuple(shape), guidance, nsteps, record_history,
             self._integrator_key(integrator), stochastic, is_latent_shape,
-            return_in_latent_space, y is not None)
+            return_in_latent_space, y is not None, mesh)
         return fn(variables, key, y)
 
     def _integrator_key(self, integrator):
@@ -494,14 +514,25 @@ class KarrasModel:
 
     def _jitted_sampler(self, nsamples, shape, guidance, nsteps,
                         record_history, integrator, stochastic,
-                        is_latent_shape, return_latent, has_y):
+                        is_latent_shape, return_latent, has_y, mesh=None):
         cache_key = ("sample", nsamples, shape, guidance, nsteps,
                      record_history, integrator, stochastic, is_latent_shape,
-                     return_latent, has_y)
+                     return_latent, has_y, mesh)
         if cache_key not in self._jit_cache:
+            def shard_batch(x):
+                # constrain the batch axis onto the mesh 'data' axis; the
+                # whole sampling scan then shards batch-wise under GSPMD
+                if mesh is None:
+                    return x
+                from jax.sharding import NamedSharding, PartitionSpec
+                spec = PartitionSpec("data", *([None] * (x.ndim - 1)))
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, spec))
+
             def impl(variables, key, y):
                 knoise, kenc, kprop = jax.random.split(key, 3)
-                x = jax.random.normal(knoise, (nsamples,) + shape)
+                x = shard_batch(jax.random.normal(knoise,
+                                                  (nsamples,) + shape))
                 original_y = y
                 if self.latent_model and not is_latent_shape:
                     if self.encode_y:
@@ -510,7 +541,8 @@ class KarrasModel:
                                      y2)
                     else:
                         x, _, _ = self.encode(variables, x, y, key=kenc)
-                    x = jax.random.normal(kenc, x.shape, x.dtype)
+                    x = shard_batch(jax.random.normal(kenc, x.shape,
+                                                      x.dtype))
                 return self._propagate_white_noise_impl(
                     variables, kprop, x, y, guidance, nsteps, record_history,
                     integrator, stochastic,

@@ -93,13 +93,19 @@ class LDMResnetBlock(nn.Module):
 
 class LDMAttnBlock(nn.Module):
     """Single-head qkv attention over flattened spatial tokens + residual
-    (autoencoderldm2d.py:123-175)."""
+    (autoencoderldm2d.py:123-175). ``num_groups=None`` uses the LDM
+    default norm (GroupNorm 32); VAENet passes its configured group
+    count (reference vaenet.py:417-427 threads config.num_groups)."""
+    num_groups: int | None = None
 
     @nn.compact
     def __call__(self, x):
         B, C = x.shape[0], x.shape[-1]
         spatial = x.shape[1:-1]
-        h = _norm(x)
+        if self.num_groups is None:
+            h = _norm(x)
+        else:
+            h = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-6)(x)
         tokens = h.reshape(B, -1, C)
         q = nn.Dense(C)(tokens)
         k = nn.Dense(C)(tokens)

@@ -186,7 +186,7 @@ def _make_block(cfg: VAENetConfig, out_channels):
 
 def _make_attn(cfg: VAENetConfig):
     if cfg.attn_type == "vanilla":
-        return LDMAttnBlock()
+        return LDMAttnBlock(num_groups=cfg.num_groups)
     if cfg.attn_type == "linear":
         return LDMLinearAttnBlock()
     return lambda x: x
@@ -227,13 +227,18 @@ class VAENetEncoder(nn.Module):
                 curr_res //= 2
         h = _make_block(cfg, None)(h, temb, train)
         if cfg.has_mid_attn:
-            h = LDMAttnBlock(name="mid_attn")(h)
+            h = LDMAttnBlock(num_groups=cfg.num_groups,
+                             name="mid_attn")(h)
         h = _make_block(cfg, None)(h, temb, train)
         h = _gnorm(h, cfg.num_groups)
         h = swish(h)
         out_ch = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
-        return nn.Conv(out_ch, (3,) * ndim, padding="SAME",
-                       name="conv_out")(h)
+        h = nn.Conv(out_ch, (3,) * ndim, padding="SAME",
+                    name="conv_out")(h)
+        # 1x1 projection z_channels -> z_dim, inside the encoder like the
+        # reference (vaenet.py:816,873)
+        q_ch = 2 * cfg.z_dim if cfg.double_z else cfg.z_dim
+        return nn.Conv(q_ch, (1,) * ndim, name="quant_conv")(h)
 
 
 class VAENetDecoder(nn.Module):
@@ -248,11 +253,15 @@ class VAENetDecoder(nn.Module):
                 if (cfg.with_time_emb and time is not None) else None)
         block_in = cfg.ch * cfg.ch_mult[-1]
         curr_res = cfg.resolution // 2 ** (cfg.num_resolutions - 1)
+        # 1x1 projection z_dim -> z_channels, inside the decoder like the
+        # reference (vaenet.py:971,1093)
+        z = nn.Conv(cfg.z_channels, (1,) * ndim, name="post_quant_conv")(z)
         h = nn.Conv(block_in, (3,) * ndim, padding="SAME",
                     name="conv_in")(z)
         h = _make_block(cfg, None)(h, temb, train)
         if cfg.has_mid_attn:
-            h = LDMAttnBlock(name="mid_attn")(h)
+            h = LDMAttnBlock(num_groups=cfg.num_groups,
+                             name="mid_attn")(h)
         h = _make_block(cfg, None)(h, temb, train)
         for i_level in reversed(range(cfg.num_resolutions)):
             out_ch = cfg.ch * cfg.ch_mult[i_level]

@@ -95,9 +95,17 @@ class EulerMaruyamaIntegrator(Integrator):
 
     def step(self, key, x, t, dt, rhs, noise_strength, extras,
              endpoint: bool = False):
-        drift = x + rhs(x, t) * dt
-        g = noise_strength(t, extras.get("gate", 1.0))
-        noise = jax.random.normal(key, x.shape, x.dtype)
+        # the gate reaches BOTH the Langevin drift term inside rhs and the
+        # injected-noise strength (reference schedulers.py:227-236 gates
+        # langevin_factor itself, which feeds both)
+        gate = extras.get("gate", 1.0)
+        drift = x + rhs(x, t, gate) * dt
+        g = noise_strength(t, gate)
+        # 'noise' in extras = replayed sequence (scheduler noise_seq),
+        # used by the cross-framework stochastic parity tests
+        noise = extras.get("noise")
+        if noise is None:
+            noise = jax.random.normal(key, x.shape, x.dtype)
         return drift + g * noise * jnp.sqrt(jnp.abs(dt))
 
 
@@ -139,7 +147,9 @@ class KarrasIntegrator(Integrator):
         # negative when gamma == 0, which would sqrt to NaN
         std = scale_noise * jnp.sqrt(
             jnp.maximum(sigma_noise ** 2 - sigma ** 2, 0.0))
-        noise = jax.random.normal(key, x.shape, x.dtype)
+        noise = extras.get("noise")
+        if noise is None:
+            noise = jax.random.normal(key, x.shape, x.dtype)
         x_noise = (scale_noise / scale) * x + std * self.s_noise * noise
 
         rhs_euler = rhs(x_noise, t_noise)

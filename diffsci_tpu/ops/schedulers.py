@@ -140,7 +140,7 @@ class Scheduler:
                    t_steps: np.ndarray, dt_steps: np.ndarray,
                    nsteps_total: int,
                    record_history: bool,
-                   splice=None):
+                   splice=None, noise_seq=None):
         """Run len(dt_steps) integrator steps via lax.scan, statically
         splitting off a final endpoint step when the integrator evaluates
         rhs at t + dt and the grid lands exactly on zero.
@@ -148,6 +148,12 @@ class Scheduler:
         ``splice(x, step_index)`` optionally post-processes the state after
         each step (used by inpaint); it must be traceable with a *static*
         step index.
+
+        ``noise_seq`` ([len(dt_steps), *x.shape]) replays a fixed noise
+        sequence through the stochastic integrators instead of drawing
+        from the key — reproducibility hook used by the cross-framework
+        stochastic parity tests (the JAX analogue of seeding the
+        reference's ``torch.randn_like``).
         """
         nsteps = len(dt_steps)
         if nsteps == 0:
@@ -168,6 +174,8 @@ class Scheduler:
                   "gate": jnp.asarray(gate_np[i0:i1], jnp.float32)}
             for k, v in extras_np.items():
                 xs[k] = jnp.asarray(v[i0:i1], jnp.float32)
+            if noise_seq is not None:
+                xs["noise"] = jnp.asarray(noise_seq, x.dtype)[i0:i1]
             return xs
 
         noise_strength = self.noise_injection
@@ -233,7 +241,8 @@ class Scheduler:
     def propagate(self, key, x, score_fn: ScoreFn, nsteps: int = 100,
                   record_history: bool = False, backward: bool = True,
                   stochastic: bool = False,
-                  integrator: integrators_lib.Integrator | str | None = None):
+                  integrator: integrators_lib.Integrator | str | None = None,
+                  noise_seq=None):
         integrator = self._resolve_integrator(integrator, stochastic)
         t = self.create_steps(nsteps + 1)
         skip = 0
@@ -245,7 +254,7 @@ class Scheduler:
                             stochastic=integrator.stochastic)
         out = self._run_steps(key, x, integrator, rhs,
                               t[skip:nsteps], dt[skip:nsteps], nsteps,
-                              record_history)
+                              record_history, noise_seq=noise_seq)
         if record_history and not backward:
             # forward history: index 0 is the clean original (the reference
             # leaves a zeros row here, schedulers.py:67-71 — fixed).
@@ -255,18 +264,18 @@ class Scheduler:
     def propagate_backward(self, key, x, score_fn, nsteps: int = 100,
                            record_history: bool = False,
                            stochastic: bool = False,
-                           integrator=None):
+                           integrator=None, noise_seq=None):
         return self.propagate(key, x, score_fn, nsteps, record_history,
                               backward=True, stochastic=stochastic,
-                              integrator=integrator)
+                              integrator=integrator, noise_seq=noise_seq)
 
     def propagate_forward(self, key, x, score_fn, nsteps: int = 100,
                           record_history: bool = False,
                           stochastic: bool = False,
-                          integrator=None):
+                          integrator=None, noise_seq=None):
         return self.propagate(key, x, score_fn, nsteps, record_history,
                               backward=False, stochastic=stochastic,
-                              integrator=integrator)
+                              integrator=integrator, noise_seq=noise_seq)
 
     def propagate_partial(self, key, x, score_fn, nsteps: int = 100,
                           initial_step: int = 0, final_step: int = 100,
@@ -309,10 +318,14 @@ class Scheduler:
 
     def repaint(self, key, x, y_noised, mask, score_fn: ScoreFn,
                 nsteps: int = 100, rsteps: int = 10, nresamples: int = 10,
-                record_history: bool = False, integrator=None):
+                record_history: bool = False, integrator=None,
+                renoise_noises=None):
         """RePaint resampling (schedulers.py:121-164): propagate in chunks
         of ``rsteps``; at each chunk boundary, repeatedly splice the known
-        region, renoise back to the chunk start and re-propagate."""
+        region, renoise back to the chunk start and re-propagate.
+
+        ``renoise_noises`` ([nresamples*(nsteps/rsteps-1), *x.shape])
+        replays the renoise draws in call order (parity-test hook)."""
         if nsteps % rsteps != 0:
             raise ValueError("rsteps should divide nsteps")
         t = self.create_steps(nsteps + 1)
@@ -326,6 +339,7 @@ class Scheduler:
         x = self.propagate_partial(sub, x, score_fn, nsteps, 0, rsteps,
                                    integrator=integrator)
         step, fstep = rsteps, 2 * rsteps
+        n_renoise = 0
         while fstep <= nsteps:
             key, sub = jax.random.split(key)
             x = self.propagate_partial(sub, x, score_fn, nsteps, step, fstep,
@@ -335,7 +349,11 @@ class Scheduler:
                 if record_history:
                     history.append(x)
                 key, k1, k2 = jax.random.split(key, 3)
-                x = self.renoise(k1, x, float(t[fstep]), float(t[step]))
+                rn = (None if renoise_noises is None
+                      else renoise_noises[n_renoise])
+                n_renoise += 1
+                x = self.renoise(k1, x, float(t[fstep]), float(t[step]),
+                                 noise=rn)
                 x = self.propagate_partial(k2, x, score_fn, nsteps, step,
                                            fstep, integrator=integrator)
             step, fstep = fstep, fstep + rsteps
@@ -346,9 +364,10 @@ class Scheduler:
             return jnp.stack(history, axis=0)
         return x
 
-    def renoise(self, key, x, t: float, t_noise: float):
+    def renoise(self, key, x, t: float, t_noise: float, noise=None):
         """Noise a state at time t back up to time t_noise
-        (schedulers.py:166-176)."""
+        (schedulers.py:166-176). ``noise`` replays a fixed draw
+        (parity-test hook)."""
         sf = self.scheduling
         sigma = sf.noise(jnp.float32(t))
         sigma_noise = sf.noise(jnp.float32(t_noise))
@@ -356,8 +375,9 @@ class Scheduler:
         scale_noise = sf.scale(jnp.float32(t_noise))
         std = scale_noise * jnp.sqrt(
             jnp.maximum(sigma_noise ** 2 - sigma ** 2, 0.0))
-        return (scale_noise / scale) * x + std * jax.random.normal(
-            key, x.shape, x.dtype)
+        if noise is None:
+            noise = jax.random.normal(key, x.shape, x.dtype)
+        return (scale_noise / scale) * x + std * noise
 
     def apply_noise(self, key, x, nsteps: int = 100, step: int = 0):
         """Noise clean data to grid time t[step] (schedulers.py:327-340)."""
