@@ -287,3 +287,33 @@ def test_fsdp_composes_with_tensor_parallel():
     for a, b in zip(jax.tree.leaves(state_a.params),
                     jax.tree.leaves(state_b.params)):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_dp_sampling_matches_single_device():
+    """Data-parallel sampling (KarrasModel.sample(mesh=...)) equals
+    single-device sampling: same key -> same noise -> same trajectories,
+    just sharded compute (the TPU analogue of the reference's multi-GPU
+    process-pool eval)."""
+    net = MLPUncond(3, hidden_dims=(16,))
+    model = KarrasModel(net, KarrasModelConfig.from_edm())
+    variables = model.init(jax.random.PRNGKey(0), (8, 3))
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(5)
+
+    single = model.sample(variables, key, 16, (3,), nsteps=8)
+    model2 = KarrasModel(net, KarrasModelConfig.from_edm())
+    sharded = model2.sample(variables, key, 16, (3,), nsteps=8, mesh=mesh)
+    assert sharded.shape == single.shape
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-5, atol=1e-6)
+
+    # stochastic path shards too (same in-scan key stream)
+    single_s = model.sample(variables, key, 16, (3,), nsteps=8,
+                            stochastic=True)
+    sharded_s = model2.sample(variables, key, 16, (3,), nsteps=8,
+                              stochastic=True, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sharded_s), np.asarray(single_s),
+                               rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError):
+        model2.sample(variables, key, 9, (3,), nsteps=4, mesh=mesh)
