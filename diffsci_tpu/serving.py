@@ -24,6 +24,7 @@ service only guards its PRNG state).
 
 from __future__ import annotations
 
+import dataclasses
 import threading
 import time
 from typing import Sequence
@@ -31,6 +32,15 @@ from typing import Sequence
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class _PendingRequest:
+    """One caller blocked on the aggregating dispatcher."""
+    keys: np.ndarray            # [n, 2] per-sample PRNG keys
+    event: threading.Event
+    result: np.ndarray | None = None
+    error: BaseException | None = None
 
 
 class SamplerService:
@@ -42,19 +52,41 @@ class SamplerService:
 
     def __init__(self, model, variables, shape: Sequence[int],
                  batch_buckets: Sequence[int] = (1, 8, 64),
-                 nsteps: int = 18, seed: int = 0, sample_kwargs=None):
+                 nsteps: int = 18, seed: int = 0, sample_kwargs=None,
+                 batch_window_ms: float = 0.0):
+        """``batch_window_ms`` > 0 enables cross-request batching: a
+        dispatcher thread aggregates requests arriving within the window
+        into ONE bucket execution instead of each small request paying a
+        full bucket dispatch. Per-request key isolation is preserved by
+        compiling a per-sample-key sampler (each request's samples depend
+        only on its own key, not on what it was batched with); requires a
+        deterministic integrator (the default Heun path — stochastic
+        samplers draw in-scan noise from a shared key stream, which would
+        entangle co-batched requests)."""
         self.model = model
         self.variables = variables
         self.shape = tuple(shape)
         self.batch_buckets = tuple(sorted(batch_buckets))
         self.nsteps = nsteps
         self.sample_kwargs = dict(sample_kwargs or {})
+        self.batch_window_ms = float(batch_window_ms)
+        if self.batch_window_ms > 0 and self.sample_kwargs.get("stochastic"):
+            raise ValueError(
+                "batch_window_ms requires a deterministic integrator: "
+                "stochastic in-scan draws would entangle co-batched "
+                "requests")
         self._key = jax.random.PRNGKey(seed)
         self._lock = threading.Lock()        # PRNG + stats
         self._warm_lock = threading.Lock()   # one-time warmup
         self._compiled: dict[int, object] = {}
+        self._queue: list[_PendingRequest] = []
+        self._queue_lock = threading.Lock()
+        self._queue_signal = threading.Condition(self._queue_lock)
+        self._dispatcher: threading.Thread | None = None
+        self._shutdown = False
         self.stats = {"requests": 0, "samples": 0, "padded": 0,
-                      "chunks": 0, "wall_seconds": 0.0}
+                      "chunks": 0, "wall_seconds": 0.0,
+                      "batched_requests": 0, "batched_dispatches": 0}
 
     # ------------------------------------------------------------------
     @classmethod
@@ -101,18 +133,35 @@ class SamplerService:
         for b in self.batch_buckets:
             t0 = time.perf_counter()
 
-            def fn(variables, key, b=b):
-                return self.model.sample(variables, key, b, self.shape,
-                                         nsteps=self.nsteps,
-                                         **self.sample_kwargs)
+            if self.batch_window_ms > 0:
+                # per-sample-key variant: row i depends only on keys[i],
+                # so co-batched requests stay isolated
+                def fn(variables, keys, b=b):
+                    noise = jax.vmap(
+                        lambda k: jax.random.normal(k, self.shape))(keys)
+                    return self.model.propagate_white_noise(
+                        variables, keys[0], noise, nsteps=self.nsteps,
+                        **self.sample_kwargs)
 
-            lowered = jax.jit(fn).lower(self.variables, self._key)
+                example = jnp.zeros((b, 2), jnp.uint32)
+                lowered = jax.jit(fn).lower(self.variables, example)
+            else:
+                def fn(variables, key, b=b):
+                    return self.model.sample(variables, key, b, self.shape,
+                                             nsteps=self.nsteps,
+                                             **self.sample_kwargs)
+
+                lowered = jax.jit(fn).lower(self.variables, self._key)
             self._compiled[b] = lowered.compile()
             # hard-sync with a scalar readback: on remote-tunnel platforms
             # block_until_ready can return before the first execution
             # actually materializes the program device-side, which would
             # push a multi-second first-run cost onto the first request
-            out = self._compiled[b](self.variables, self._key)
+            if self.batch_window_ms > 0:
+                out = self._compiled[b](
+                    self.variables, jnp.zeros((b, 2), jnp.uint32))
+            else:
+                out = self._compiled[b](self.variables, self._key)
             float(jnp.sum(out))
             times[b] = time.perf_counter() - t0
             if verbose:
@@ -143,13 +192,115 @@ class SamplerService:
         return sub
 
     # ------------------------------------------------------------------
+    # cross-request batching (dispatcher thread)
+    # ------------------------------------------------------------------
+    def _ensure_dispatcher(self):
+        if self._dispatcher is None or not self._dispatcher.is_alive():
+            with self._warm_lock:
+                if self._dispatcher is None or \
+                        not self._dispatcher.is_alive():
+                    self._dispatcher = threading.Thread(
+                        target=self._dispatch_loop, daemon=True,
+                        name="sampler-dispatch")
+                    self._dispatcher.start()
+
+    def close(self):
+        """Stop the dispatcher thread (no-op without batching)."""
+        self._shutdown = True
+        with self._queue_signal:
+            self._queue_signal.notify_all()
+        if self._dispatcher is not None:
+            self._dispatcher.join(timeout=5)
+
+    def _dispatch_loop(self):
+        maxb = self.batch_buckets[-1]
+        while not self._shutdown:
+            with self._queue_signal:
+                while not self._queue and not self._shutdown:
+                    self._queue_signal.wait(timeout=0.25)
+                if self._shutdown:
+                    break
+            # aggregation window: let concurrent requests pile up
+            time.sleep(self.batch_window_ms / 1000.0)
+            with self._queue_lock:
+                batch, total = [], 0
+                while self._queue and \
+                        total + len(self._queue[0].keys) <= maxb:
+                    req = self._queue.pop(0)
+                    batch.append(req)
+                    total += len(req.keys)
+            if not batch:
+                continue
+            try:
+                keys = np.concatenate([r.keys for r in batch], axis=0)
+                b = self._bucket(total)
+                if total < b:
+                    keys = np.concatenate(
+                        [keys, np.zeros((b - total, 2), np.uint32)], axis=0)
+                out = self._compiled[b](self.variables, jnp.asarray(keys))
+                jax.block_until_ready(out)
+                out = np.asarray(out)
+                i = 0
+                for r in batch:
+                    r.result = out[i:i + len(r.keys)]
+                    i += len(r.keys)
+                with self._lock:
+                    self.stats["batched_dispatches"] += 1
+                    self.stats["chunks"] += 1
+                    self.stats["padded"] += b - total
+            except BaseException as e:  # surface to every waiter
+                for r in batch:
+                    r.error = e
+            finally:
+                for r in batch:
+                    r.event.set()
+
+    def _sample_batched(self, nsamples: int, key) -> np.ndarray:
+        """Enqueue per-sample keys and block on the dispatcher. Requests
+        larger than the biggest bucket are enqueued as multiple chunks."""
+        self._ensure_warm()
+        self._ensure_dispatcher()
+        if nsamples <= 0:
+            return np.zeros((0,) + tuple(self.shape), np.float32)
+        if key is None:
+            key = self._next_key()
+        all_keys = np.asarray(jax.random.split(key, nsamples))
+        maxb = self.batch_buckets[-1]
+        pendings = []
+        i = 0
+        while i < nsamples:
+            n = min(maxb, nsamples - i)
+            pendings.append(_PendingRequest(keys=all_keys[i:i + n],
+                                            event=threading.Event()))
+            i += n
+        t0 = time.perf_counter()
+        with self._queue_signal:
+            self._queue.extend(pendings)
+            self._queue_signal.notify()
+        for p in pendings:
+            p.event.wait()
+            if p.error is not None:
+                raise p.error
+        wall = time.perf_counter() - t0
+        with self._lock:
+            self.stats["requests"] += 1
+            self.stats["batched_requests"] += 1
+            self.stats["samples"] += nsamples
+            self.stats["wall_seconds"] += wall
+        return np.concatenate([p.result for p in pendings], axis=0)
+
+    # ------------------------------------------------------------------
     def sample(self, nsamples: int, key=None) -> np.ndarray:
         """Generate ``nsamples`` images. Requests above the largest bucket
         are chunked; others are padded up to the nearest bucket.
 
         With an explicit ``key`` the full request is deterministic
         regardless of chunking: chunk keys are split from it rather than
-        drawn from service state."""
+        drawn from service state. With ``batch_window_ms`` > 0 the request
+        goes through the aggregating dispatcher (deterministic per key
+        regardless of what it gets co-batched with)."""
+        if self.batch_window_ms > 0:
+            return self._sample_batched(nsamples, key)
         self._ensure_warm()
         # plan chunks up front so explicit-key requests stay reproducible
         sizes = []

@@ -116,3 +116,93 @@ def test_from_checkpoint_clear_errors(tmp_path):
              "autoencoder": True}
     with _pytest.raises(ValueError, match="autoencoder"):
         karras_model_from_description(desc2)
+
+
+# ---------------------------------------------------------------------------
+# cross-request batching (round 3)
+# ---------------------------------------------------------------------------
+def _batched_service(buckets=(4, 16), window_ms=20.0):
+    model = KarrasModel(MLPUncond(dim=2, hidden_dims=(8,)),
+                        KarrasModelConfig.from_edm())
+    vs = model.init(jax.random.PRNGKey(0), (4, 2))
+    return SamplerService(model, vs, shape=(2,), batch_buckets=buckets,
+                          nsteps=4, batch_window_ms=window_ms)
+
+
+def test_batched_concurrent_requests_aggregate():
+    """16 concurrent small requests land in few bucket dispatches, every
+    caller gets its own correctly-sized result."""
+    import threading
+    svc = _batched_service()
+    svc.warmup()
+    results = {}
+
+    def worker(i):
+        results[i] = svc.sample(2, key=jax.random.PRNGKey(100 + i))
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    svc.close()
+    assert len(results) == 16
+    for i, r in results.items():
+        assert r.shape == (2, 2)
+        assert np.all(np.isfinite(r))
+    # 32 samples through 16-capacity buckets: at most a handful of
+    # dispatches, certainly fewer than one per request
+    assert svc.stats["batched_dispatches"] < 16
+    assert svc.stats["batched_requests"] == 16
+    assert svc.stats["samples"] == 32
+
+
+def test_batched_per_request_key_isolation():
+    """The same request key yields the same samples regardless of what it
+    was co-batched with (per-sample-key executable)."""
+    import threading
+    svc = _batched_service()
+    svc.warmup()
+    key = jax.random.PRNGKey(7)
+    alone = svc.sample(3, key=key)
+
+    noise_results = []
+
+    def noise_worker(i):
+        noise_results.append(svc.sample(5, key=jax.random.PRNGKey(900 + i)))
+
+    threads = [threading.Thread(target=noise_worker, args=(i,))
+               for i in range(6)]
+    for t in threads:
+        t.start()
+    crowded = svc.sample(3, key=key)
+    for t in threads:
+        t.join()
+    svc.close()
+    np.testing.assert_array_equal(alone, crowded)
+
+
+def test_batched_large_request_chunks():
+    svc = _batched_service(buckets=(4,), window_ms=5.0)
+    svc.warmup()
+    out = svc.sample(10, key=jax.random.PRNGKey(0))
+    svc.close()
+    assert out.shape == (10, 2)
+    # determinism across the chunk split too
+    svc2 = _batched_service(buckets=(4,), window_ms=5.0)
+    svc2.warmup()
+    out2 = svc2.sample(10, key=jax.random.PRNGKey(0))
+    svc2.close()
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_batched_rejects_stochastic():
+    import pytest
+    model = KarrasModel(MLPUncond(dim=2, hidden_dims=(8,)),
+                        KarrasModelConfig.from_edm())
+    vs = model.init(jax.random.PRNGKey(0), (4, 2))
+    with pytest.raises(ValueError):
+        SamplerService(model, vs, shape=(2,), batch_buckets=(4,),
+                       nsteps=4, sample_kwargs={"stochastic": True},
+                       batch_window_ms=10.0)
