@@ -394,9 +394,19 @@ class ShapesDataset:
         img[mask] = 1.0
 
     def generate(self) -> np.ndarray:
+        return self.generate_labeled()[0]
+
+    def generate_labeled(self) -> tuple[np.ndarray, np.ndarray]:
+        """(images, labels): paper_replica labels are the [N, 3] binary
+        slot-occupancy vector (triangle/square/disk present), geometry_test
+        labels are [N] 0=square / 1=disk. Used to train the
+        classifier-feature FID extractor (scripts/stochasticity_study.py)."""
         rng = np.random.default_rng(self.seed)
         s, r = self.size, self.polygon_size
         out = np.zeros((self.num_samples, s, s, 1), np.float32)
+        labels = np.zeros(
+            (self.num_samples, 3) if self.mode == "paper_replica"
+            else (self.num_samples,), np.float32)
         for i in range(self.num_samples):
             img = out[i, :, :, 0]
             if self.mode == "paper_replica":
@@ -406,13 +416,15 @@ class ShapesDataset:
                     if rng.random() > 0.5:
                         cy = int(rng.integers(r + 1, s - r - 1))
                         draw[slot](img, cy, cols[slot], r)
+                        labels[i, slot] = 1.0
             else:  # geometry_test
                 c, rad = s // 2, s // 4
                 if rng.random() > 0.5:
                     self._square(img, c, c, rad)
                 else:
                     self._disk(img, c, c, rad)
-        return out * 2.0 - 1.0
+                    labels[i] = 1.0
+        return out * 2.0 - 1.0, labels
 
     def sample(self, key=None) -> np.ndarray:
         return self.generate()

@@ -28,6 +28,59 @@ import json
 import pathlib
 
 
+def _train_classifier_features(xs, labels, size, steps=600):
+    """Train MinimalResNet on the slot-occupancy labels (3-way
+    multi-label sigmoid) and return a pooled-feature extractor — a
+    non-pixel feature space for FID (the stand-in for Inception features
+    in this zero-egress environment)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from diffsci_tpu.models.nets.classifiers import MinimalResNet
+
+    net = MinimalResNet(out_classes=3, model_channels=32,
+                        n_layers=4)
+    key = jax.random.PRNGKey(7)
+    variables = net.init(key, jnp.zeros((2, size, size, 1)))
+    params = variables["params"]
+    tx = optax.adam(3e-4)
+    opt_state = tx.init(params)
+    xj = jnp.asarray(xs)
+    yj = jnp.asarray(labels)
+
+    @jax.jit
+    def step(params, opt_state, kb):
+        idx = jax.random.randint(kb, (128,), 0, xj.shape[0])
+
+        def loss_fn(p):
+            logits = net.apply({"params": p}, xj[idx], train=False)
+            return jnp.mean(optax.sigmoid_binary_cross_entropy(
+                logits, yj[idx]))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for i in range(steps):
+        key, kb = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, kb)
+    print(f"classifier trained: final BCE {float(loss):.4f}")
+
+    @jax.jit
+    def feats(xb):
+        return net.apply({"params": params}, xb,
+                         method=MinimalResNet.features)
+
+    def extract(x, bs=256):
+        outs = []
+        for i in range(0, x.shape[0], bs):
+            outs.append(np.asarray(feats(jnp.asarray(x[i:i + bs]))))
+        return np.concatenate(outs, 0).astype(np.float64)
+
+    return extract
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1500,
@@ -38,6 +91,13 @@ def main():
     ap.add_argument("--nfe", type=int, default=100)
     ap.add_argument("--gammas", type=float, nargs="+",
                     default=[0.01, 0.1, 0.3, 0.5, 1.0, 2.0, 3.0, 5.0, 8.0])
+    ap.add_argument("--model-channels", type=int, default=32,
+                    help="128 = the reference's CIFAR-scale width")
+    ap.add_argument("--expansion", type=int, nargs="+", default=[2, 4])
+    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--classifier-fid", action="store_true",
+                    help="also score in trained-classifier feature space "
+                         "(MinimalResNet on the slot-occupancy labels)")
     ap.add_argument("--out",
                     default="docs/artifacts/stochasticity_sweep.json")
     args = ap.parse_args()
@@ -51,17 +111,18 @@ def main():
     from diffsci_tpu.trainer import fit_karras
     from diffsci_tpu.metrics import fid
 
-    xs = ShapesDataset(args.num_data, size=args.size,
-                       mode="paper_replica").generate()
+    xs, xlabels = ShapesDataset(args.num_data, size=args.size,
+                                mode="paper_replica").generate_labeled()
     held_out = ShapesDataset(args.nsamples, size=args.size,
                              mode="paper_replica", seed=123).generate()
     print(f"data {xs.shape}, devices {jax.devices()}")
 
-    net = PUNetG(PUNetGConfig(model_channels=32, channel_expansion=[2, 4]))
+    net = PUNetG(PUNetGConfig(model_channels=args.model_channels,
+                              channel_expansion=list(args.expansion)))
     model = KarrasModel(net, KarrasModelConfig.from_edm())
     ema = EMATracker(ema_type="power", power_function_stds=[0.05])
     state, trainer = fit_karras(
-        model, xs, batch_size=128,
+        model, xs, batch_size=args.batch_size,
         max_epochs=args.steps,  # outer bound only; max_steps terminates
         max_steps=args.steps, ema=ema, val_fraction=0.05,
         log_dir="runs/stochasticity_study")
@@ -71,7 +132,12 @@ def main():
     def features(x):
         return np.asarray(x, np.float64).reshape(x.shape[0], -1)
 
+    cls_feat = None
+    if args.classifier_fid:
+        cls_feat = _train_classifier_features(xs, xlabels, args.size)
+
     real_f = features(held_out)
+    real_cf = cls_feat(held_out) if cls_feat else None
     results = []
     key = jax.random.PRNGKey(42)
     for gamma in args.gammas:
@@ -83,8 +149,12 @@ def main():
             (args.size, args.size, 1), nsteps=args.nfe,
             stochastic=True, maximum_batch_size=256)
         score = float(fid(real_f, features(samples)))
-        results.append({"gamma": gamma, "fid": score})
-        print(f"gamma={gamma}: FID={score:.4f}")
+        row = {"gamma": gamma, "fid": score}
+        if cls_feat:
+            row["classifier_fid"] = float(fid(real_cf, cls_feat(samples)))
+        results.append(row)
+        print(f"gamma={gamma}: " + ", ".join(
+            f"{k}={v:.4f}" for k, v in row.items() if k != "gamma"))
 
     fids = [r["fid"] for r in results]
     best_i = int(np.argmin(fids))
@@ -94,7 +164,11 @@ def main():
         "train_steps": int(state.step),
         "nfe": args.nfe,
         "nsamples": args.nsamples,
-        "feature_space": "pixel (NOT Inception-comparable; shape only)",
+        "feature_space": ("pixel + trained-classifier"
+                          if args.classifier_fid else
+                          "pixel (NOT Inception-comparable; shape only)"),
+        "model_channels": args.model_channels,
+        "channel_expansion": list(args.expansion),
         "sweep": results,
         "best_gamma": args.gammas[best_i],
         "fid_at_min_gamma": fids[0],

@@ -99,3 +99,31 @@ def test_avg_pool_count_include_pad_false():
     # corner: 4 valid elements of ones -> mean 1.0 (not 4/9)
     np.testing.assert_allclose(np.asarray(out), np.ones((1, 3, 3, 1)),
                                rtol=1e-6)
+
+
+def test_synthetic_weight_resize_features_fid_end_to_end():
+    """Full pipeline on synthetic (randomly initialized) weights: images
+    -> grayscale->RGB broadcast -> 299x299 bilinear resize -> pool3
+    features -> Frechet distance. Keeps the --inception-weights path in
+    scripts/eval_fid.py green without the (egress-blocked)
+    pt_inception-2015-12-05 file; with the real file the identical code
+    path produces reference-comparable FID (BASELINE.md)."""
+    import jax
+    from diffsci_tpu import metrics
+    from diffsci_tpu.metrics_inception import (InceptionV3FID,
+                                               inception_fid_features)
+
+    net = InceptionV3FID()
+    variables = net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 299, 299, 3)))
+    key = jax.random.PRNGKey(1)
+    a = jax.random.uniform(key, (8, 28, 28, 1))
+    b = jnp.clip(a + 0.3 * jax.random.normal(jax.random.PRNGKey(2),
+                                             a.shape), 0, 1)
+    fa = inception_fid_features(variables, a, batch_size=4)
+    fb = inception_fid_features(variables, b, batch_size=4)
+    assert fa.shape == (8, 2048) and np.all(np.isfinite(fa))
+    fid_self = metrics.fid(fa, fa)
+    fid_ab = metrics.fid(fa, fb)
+    assert abs(fid_self) < 1e-3
+    assert np.isfinite(fid_ab) and fid_ab > fid_self

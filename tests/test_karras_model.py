@@ -212,3 +212,32 @@ def test_conditional_cfg_training_and_guided_sampling():
     s1g1 = model.sample(variables, jax.random.PRNGKey(99), 4, (16, 16, 1),
                         y=jnp.ones((4,), jnp.int32), guidance=1.0, nsteps=6)
     assert not np.allclose(np.asarray(s1), np.asarray(s1g1))
+
+
+def test_denoiser_sample_statistics_per_sigma():
+    """Sample-statistic parity at the BASELINE.md tolerance (rtol/atol
+    1e-2): per-sigma mean/std of the oracle denoiser's outputs through
+    the full get_denoiser path match the closed form. For data
+    N(mu, s^2 I) noised to x = x0 + sigma*eps:
+        D(x; sigma) = mu + w (x - mu),  w = s^2/(s^2 + sigma^2)
+        => mean(D) = mu,  std(D) = w * sqrt(s^2 + sigma^2)
+                                 = s^2 / sqrt(s^2 + sigma^2)."""
+    mu, s = 0.7, 1.3
+    dataset = data.SingleGaussianDataset(num_samples=4096, x0=[mu] * 4,
+                                         scale=s)
+    model, variables = make_oracle_module(dataset)
+    key = jax.random.PRNGKey(3)
+    x0 = dataset.sample(key)
+    for sigma_val in (0.05, 0.5, 2.0, 10.0):
+        key, keps = jax.random.split(key)
+        eps = jax.random.normal(keps, x0.shape)
+        x_noised = x0 + sigma_val * eps
+        sigma = jnp.full((x0.shape[0],), sigma_val)
+        d, _ = model.get_denoiser(variables, x_noised, sigma)
+        got_mean = float(jnp.mean(d))
+        got_std = float(jnp.std(d))
+        want_std = s ** 2 / np.sqrt(s ** 2 + sigma_val ** 2)
+        np.testing.assert_allclose(got_mean, mu, rtol=1e-2, atol=5e-2,
+                                   err_msg=f"mean at sigma={sigma_val}")
+        np.testing.assert_allclose(got_std, want_std, rtol=3e-2,
+                                   err_msg=f"std at sigma={sigma_val}")
