@@ -473,7 +473,7 @@ class KarrasModel:
                integrator=None, stochastic: bool = False,
                is_latent_shape: bool = False,
                return_in_latent_space: bool = False,
-               mesh=None):
+               mesh=None, langevin_scale=None):
         """Generate samples from white noise. ``shape`` is channels-last
         without the batch dim (e.g. (28, 28, 1)).
 
@@ -484,7 +484,13 @@ class KarrasModel:
         parallel.py:1-44). The noise is generated from the same key as the
         single-device path, so DP sampling == single-device sampling up to
         float reassociation; ``nsamples`` must be divisible by the data
-        axis size."""
+        axis size.
+
+        ``langevin_scale``: traced scalar multiplying the scheduler's
+        Langevin gate (stochastic sampling only). With
+        ``langevin_const=1`` this IS gamma — as a runtime argument, so a
+        gamma sweep runs from ONE compiled executable instead of
+        retracing the sampling scan per point."""
         if mesh is not None and nsamples % mesh.shape["data"] != 0:
             raise ValueError(
                 f"nsamples={nsamples} not divisible by data axis size "
@@ -496,13 +502,17 @@ class KarrasModel:
                 outs.append(self.sample(
                     variables, sub, bs, shape, y, guidance, nsteps,
                     record_history, None, integrator, stochastic,
-                    is_latent_shape, return_in_latent_space, mesh))
+                    is_latent_shape, return_in_latent_space, mesh,
+                    langevin_scale))
             return jnp.concatenate(outs, axis=1 if record_history else 0)
 
         fn = self._jitted_sampler(
             nsamples, tuple(shape), guidance, nsteps, record_history,
             self._integrator_key(integrator), stochastic, is_latent_shape,
-            return_in_latent_space, y is not None, mesh)
+            return_in_latent_space, y is not None, mesh,
+            langevin_scale is not None)
+        if langevin_scale is not None:
+            return fn(variables, key, y, jnp.float32(langevin_scale))
         return fn(variables, key, y)
 
     def _integrator_key(self, integrator):
@@ -514,10 +524,11 @@ class KarrasModel:
 
     def _jitted_sampler(self, nsamples, shape, guidance, nsteps,
                         record_history, integrator, stochastic,
-                        is_latent_shape, return_latent, has_y, mesh=None):
+                        is_latent_shape, return_latent, has_y, mesh=None,
+                        has_langevin_scale=False):
         cache_key = ("sample", nsamples, shape, guidance, nsteps,
                      record_history, integrator, stochastic, is_latent_shape,
-                     return_latent, has_y, mesh)
+                     return_latent, has_y, mesh, has_langevin_scale)
         if cache_key not in self._jit_cache:
             def shard_batch(x):
                 # constrain the batch axis onto the mesh 'data' axis; the
@@ -529,7 +540,7 @@ class KarrasModel:
                 return jax.lax.with_sharding_constraint(
                     x, NamedSharding(mesh, spec))
 
-            def impl(variables, key, y):
+            def impl(variables, key, y, langevin_scale=None):
                 knoise, kenc, kprop = jax.random.split(key, 3)
                 x = shard_batch(jax.random.normal(knoise,
                                                   (nsamples,) + shape))
@@ -547,17 +558,18 @@ class KarrasModel:
                     variables, kprop, x, y, guidance, nsteps, record_history,
                     integrator, stochastic,
                     original_y if self.decode_original_y else None,
-                    return_latent)
+                    return_latent, gate_scale=langevin_scale)
             self._jit_cache[cache_key] = jax.jit(impl)
         return self._jit_cache[cache_key]
 
     def _propagate_white_noise_impl(self, variables, key, x, y, guidance,
                                     nsteps, record_history, integrator,
-                                    stochastic, original_y, return_latent):
+                                    stochastic, original_y, return_latent,
+                                    gate_scale=None):
         x = x * self.config.noisescheduler.maximum_scale
         result = self.propagate_toward_sample(
             variables, key, x, y, guidance, nsteps, record_history,
-            integrator, stochastic)
+            integrator, stochastic, gate_scale=gate_scale)
         if not return_latent:
             result = self.decode(variables, result,
                                  original_y if original_y is not None else y,
@@ -578,7 +590,8 @@ class KarrasModel:
     def propagate_toward_sample(self, variables, key, x, y=None,
                                 guidance: float = 1.0, nsteps: int = 100,
                                 record_history: bool = False,
-                                integrator=None, stochastic: bool = False):
+                                integrator=None, stochastic: bool = False,
+                                gate_scale=None):
         """Backward propagation with the learned score
         (karrasmodule.py:907-931)."""
         y = dict_expand_dims(y, 0) if _needs_unsqueeze(y, x) else y
@@ -588,7 +601,8 @@ class KarrasModel:
 
         return self.config.noisescheduler.propagate_backward(
             key, x, score_fn, nsteps, record_history=record_history,
-            stochastic=stochastic, integrator=integrator)
+            stochastic=stochastic, integrator=integrator,
+            gate_scale=gate_scale)
 
     def propagate_partial_toward_sample(self, variables, key, x,
                                         initial_step: int,

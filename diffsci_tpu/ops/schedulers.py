@@ -140,7 +140,7 @@ class Scheduler:
                    t_steps: np.ndarray, dt_steps: np.ndarray,
                    nsteps_total: int,
                    record_history: bool,
-                   splice=None, noise_seq=None):
+                   splice=None, noise_seq=None, gate_scale=None):
         """Run len(dt_steps) integrator steps via lax.scan, statically
         splitting off a final endpoint step when the integrator evaluates
         rhs at t + dt and the grid lands exactly on zero.
@@ -154,6 +154,14 @@ class Scheduler:
         from the key — reproducibility hook used by the cross-framework
         stochastic parity tests (the JAX analogue of seeding the
         reference's ``torch.randn_like``).
+
+        ``gate_scale``: traced scalar multiplied into the per-step
+        Langevin gate. Because langevin_factor is linear in the gate,
+        ``langevin_const=1`` + ``gate_scale=gamma`` equals
+        ``langevin_const=gamma`` — but as a RUNTIME argument, so a
+        gamma sweep reuses one compiled executable instead of
+        recompiling the whole sampling scan per point (XLA bakes Python
+        floats into the HLO).
         """
         nsteps = len(dt_steps)
         if nsteps == 0:
@@ -169,9 +177,12 @@ class Scheduler:
         gate_np = self._langevin_gate(t_steps)
 
         def pack(i0, i1):
+            gate = jnp.asarray(gate_np[i0:i1], jnp.float32)
+            if gate_scale is not None:
+                gate = gate * gate_scale
             xs = {"t": jnp.asarray(t_steps[i0:i1], jnp.float32),
                   "dt": jnp.asarray(dt_steps[i0:i1], jnp.float32),
-                  "gate": jnp.asarray(gate_np[i0:i1], jnp.float32)}
+                  "gate": gate}
             for k, v in extras_np.items():
                 xs[k] = jnp.asarray(v[i0:i1], jnp.float32)
             if noise_seq is not None:
@@ -242,7 +253,7 @@ class Scheduler:
                   record_history: bool = False, backward: bool = True,
                   stochastic: bool = False,
                   integrator: integrators_lib.Integrator | str | None = None,
-                  noise_seq=None):
+                  noise_seq=None, gate_scale=None):
         integrator = self._resolve_integrator(integrator, stochastic)
         t = self.create_steps(nsteps + 1)
         skip = 0
@@ -254,7 +265,8 @@ class Scheduler:
                             stochastic=integrator.stochastic)
         out = self._run_steps(key, x, integrator, rhs,
                               t[skip:nsteps], dt[skip:nsteps], nsteps,
-                              record_history, noise_seq=noise_seq)
+                              record_history, noise_seq=noise_seq,
+                              gate_scale=gate_scale)
         if record_history and not backward:
             # forward history: index 0 is the clean original (the reference
             # leaves a zeros row here, schedulers.py:67-71 — fixed).
@@ -264,10 +276,12 @@ class Scheduler:
     def propagate_backward(self, key, x, score_fn, nsteps: int = 100,
                            record_history: bool = False,
                            stochastic: bool = False,
-                           integrator=None, noise_seq=None):
+                           integrator=None, noise_seq=None,
+                           gate_scale=None):
         return self.propagate(key, x, score_fn, nsteps, record_history,
                               backward=True, stochastic=stochastic,
-                              integrator=integrator, noise_seq=noise_seq)
+                              integrator=integrator, noise_seq=noise_seq,
+                              gate_scale=gate_scale)
 
     def propagate_forward(self, key, x, score_fn, nsteps: int = 100,
                           record_history: bool = False,

@@ -53,7 +53,7 @@ class SamplerService:
     def __init__(self, model, variables, shape: Sequence[int],
                  batch_buckets: Sequence[int] = (1, 8, 64),
                  nsteps: int = 18, seed: int = 0, sample_kwargs=None,
-                 batch_window_ms: float = 0.0):
+                 batch_window_ms: float = 0.0, mesh=None):
         """``batch_window_ms`` > 0 enables cross-request batching: a
         dispatcher thread aggregates requests arriving within the window
         into ONE bucket execution instead of each small request paying a
@@ -62,7 +62,12 @@ class SamplerService:
         only on its own key, not on what it was batched with); requires a
         deterministic integrator (the default Heun path — stochastic
         samplers draw in-scan noise from a shared key stream, which would
-        entangle co-batched requests)."""
+        entangle co-batched requests).
+
+        ``mesh``: a jax Mesh with a 'data' axis — every bucket execution
+        shards its batch over the mesh (data-parallel serving across the
+        slice; same key => same samples as single-device). Bucket sizes
+        must be divisible by the data axis size."""
         self.model = model
         self.variables = variables
         self.shape = tuple(shape)
@@ -75,6 +80,14 @@ class SamplerService:
                 "batch_window_ms requires a deterministic integrator: "
                 "stochastic in-scan draws would entangle co-batched "
                 "requests")
+        self.mesh = mesh
+        if mesh is not None:
+            dp = mesh.shape["data"]
+            bad = [b for b in self.batch_buckets if b % dp != 0]
+            if bad:
+                raise ValueError(
+                    f"batch_buckets {bad} not divisible by the mesh data "
+                    f"axis size {dp}")
         self._key = jax.random.PRNGKey(seed)
         self._lock = threading.Lock()        # PRNG + stats
         self._warm_lock = threading.Lock()   # one-time warmup
@@ -133,12 +146,20 @@ class SamplerService:
         for b in self.batch_buckets:
             t0 = time.perf_counter()
 
+            def shard(x):
+                if self.mesh is None:
+                    return x
+                from jax.sharding import NamedSharding, PartitionSpec
+                spec = PartitionSpec("data", *([None] * (x.ndim - 1)))
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(self.mesh, spec))
+
             if self.batch_window_ms > 0:
                 # per-sample-key variant: row i depends only on keys[i],
                 # so co-batched requests stay isolated
                 def fn(variables, keys, b=b):
-                    noise = jax.vmap(
-                        lambda k: jax.random.normal(k, self.shape))(keys)
+                    noise = shard(jax.vmap(
+                        lambda k: jax.random.normal(k, self.shape))(keys))
                     return self.model.propagate_white_noise(
                         variables, keys[0], noise, nsteps=self.nsteps,
                         **self.sample_kwargs)
@@ -146,10 +167,15 @@ class SamplerService:
                 example = jnp.zeros((b, 2), jnp.uint32)
                 lowered = jax.jit(fn).lower(self.variables, example)
             else:
-                def fn(variables, key, b=b):
+                kw = dict(self.sample_kwargs)
+                if self.mesh is not None:
+                    # only KarrasModel-like runtimes take mesh; don't
+                    # break SIModel/DDPMModel when serving single-device
+                    kw["mesh"] = self.mesh
+
+                def fn(variables, key, b=b, kw=kw):
                     return self.model.sample(variables, key, b, self.shape,
-                                             nsteps=self.nsteps,
-                                             **self.sample_kwargs)
+                                             nsteps=self.nsteps, **kw)
 
                 lowered = jax.jit(fn).lower(self.variables, self._key)
             self._compiled[b] = lowered.compile()

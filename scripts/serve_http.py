@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--buckets", type=int, nargs="+", default=[8, 64])
     ap.add_argument("--nsteps", type=int, default=18)
     ap.add_argument("--ema-stds", type=float, nargs="*", default=[0.05])
+    ap.add_argument("--batch-window-ms", type=float, default=0.0,
+                    help="aggregate concurrent requests arriving within "
+                         "this window into one bucket execution "
+                         "(cross-request batching; 0 = off)")
     args = ap.parse_args()
 
     import jax
@@ -39,7 +43,8 @@ def main():
     svc = SamplerService.from_checkpoint(
         args.ckpt, tuple(args.shape),
         ema_stds=args.ema_stds or None,
-        batch_buckets=tuple(args.buckets), nsteps=args.nsteps)
+        batch_buckets=tuple(args.buckets), nsteps=args.nsteps,
+        batch_window_ms=args.batch_window_ms)
     print("warming up...", flush=True)
     times = svc.warmup(verbose=True)
     print(f"ready on :{args.port} (warmup {times})", flush=True)

@@ -361,3 +361,63 @@ def test_dpmpp2m_forward_propagation_finite():
     assert bool(jnp.all(jnp.isfinite(out)))
     # forward end state ~ sigma_max-scale noise
     assert float(jnp.std(out)) > 10.0
+
+
+def test_gate_scale_equals_langevin_const():
+    """gate_scale is a RUNTIME gamma: langevin_const=1 + gate_scale=g
+    must equal langevin_const=g exactly (it rides the already-traced
+    Langevin gate, so a gamma sweep reuses one compiled executable)."""
+    from diffsci_tpu.utils import bcast_right
+
+    def score(z, s):
+        return -z / (1.0 + bcast_right(s, z) ** 2)
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (4, 3)) * 80.0
+    seq = np.random.default_rng(0).standard_normal((8, 4, 3)).astype(
+        np.float32)
+    ref = ops.EDMScheduler(langevin_const=3.0).propagate_backward(
+        key, x, score, 8, stochastic=True, record_history=True,
+        noise_seq=seq)
+    got = ops.EDMScheduler(langevin_const=1.0).propagate_backward(
+        key, x, score, 8, stochastic=True, record_history=True,
+        noise_seq=seq, gate_scale=jnp.float32(3.0))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    # and with the interval gate engaged
+    ref2 = ops.EDMScheduler(
+        langevin_const=2.0, langevin_interval=(0.1, 10.0)
+    ).propagate_backward(key, x, score, 8, stochastic=True,
+                         record_history=True, noise_seq=seq)
+    got2 = ops.EDMScheduler(
+        langevin_const=1.0, langevin_interval=(0.1, 10.0)
+    ).propagate_backward(key, x, score, 8, stochastic=True,
+                         record_history=True, noise_seq=seq,
+                         gate_scale=jnp.float32(2.0))
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_karras_model_langevin_scale_runtime_sweep():
+    """KarrasModel.sample(langevin_scale=...) compiles ONCE for any
+    gamma and matches the baked-const path."""
+    from diffsci_tpu.models import KarrasModel, KarrasModelConfig
+    from diffsci_tpu.models.nets.mlp import MLPUncond
+
+    net = MLPUncond(3, hidden_dims=(8,))
+    model = KarrasModel(net, KarrasModelConfig.from_edm())
+    vs = model.init(jax.random.PRNGKey(0), (4, 3))
+    key = jax.random.PRNGKey(1)
+    out3 = model.sample(vs, key, 4, (3,), nsteps=6, stochastic=True,
+                        langevin_scale=3.0)
+    n_compiled = len(model._jit_cache)
+    out1 = model.sample(vs, key, 4, (3,), nsteps=6, stochastic=True,
+                        langevin_scale=1.0)
+    assert len(model._jit_cache) == n_compiled  # no retrace per gamma
+
+    model_ref = KarrasModel(net, KarrasModelConfig.from_edm())
+    model_ref.config.noisescheduler = ops.EDMScheduler(langevin_const=3.0)
+    ref3 = model_ref.sample(vs, key, 4, (3,), nsteps=6, stochastic=True)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(ref3),
+                               rtol=1e-5, atol=1e-6)
+    assert not np.allclose(np.asarray(out1), np.asarray(out3))

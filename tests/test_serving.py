@@ -206,3 +206,36 @@ def test_batched_rejects_stochastic():
         SamplerService(model, vs, shape=(2,), batch_buckets=(4,),
                        nsteps=4, sample_kwargs={"stochastic": True},
                        batch_window_ms=10.0)
+
+
+def test_mesh_mode_matches_single_device():
+    """SamplerService(mesh=...) shards every bucket execution over the
+    data axis; same key -> same samples as the unsharded service."""
+    from diffsci_tpu.parallel import make_mesh
+    model = KarrasModel(MLPUncond(dim=2, hidden_dims=(8,)),
+                        KarrasModelConfig.from_edm())
+    vs = model.init(jax.random.PRNGKey(0), (4, 2))
+    mesh = make_mesh()
+    svc_1 = SamplerService(model, vs, shape=(2,), batch_buckets=(8,),
+                           nsteps=3)
+    model2 = KarrasModel(MLPUncond(dim=2, hidden_dims=(8,)),
+                        KarrasModelConfig.from_edm())
+    svc_m = SamplerService(model2, vs, shape=(2,), batch_buckets=(8,),
+                           nsteps=3, mesh=mesh)
+    key = jax.random.PRNGKey(11)
+    a = svc_1.sample(8, key=key)
+    b = svc_m.sample(8, key=key)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    # batched dispatcher mode shards too
+    svc_mb = SamplerService(model2, vs, shape=(2,), batch_buckets=(8,),
+                            nsteps=3, mesh=mesh, batch_window_ms=5.0)
+    out = svc_mb.sample(6, key=key)
+    svc_mb.close()
+    assert out.shape == (6, 2) and np.all(np.isfinite(out))
+
+    # buckets must divide the data axis
+    import pytest
+    with pytest.raises(ValueError):
+        SamplerService(model2, vs, shape=(2,), batch_buckets=(6,),
+                       nsteps=3, mesh=mesh)
