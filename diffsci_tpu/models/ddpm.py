@@ -124,43 +124,56 @@ class DDPMIntegratorBase:
     def __init__(self, scheduler: DDPMScheduler):
         self.scheduler = scheduler
 
-    def step_backward(self, key, x, t, noise_predictor, T):
+    def step_backward(self, key, x, t, noise_predictor, T, noise=None):
         raise NotImplementedError
 
     def propagate_backward(self, key, x, noise_predictor,
                            nsteps: int | None = None,
-                           record_history: bool = False):
+                           record_history: bool = False,
+                           noise_seq=None):
+        """``noise_seq`` [T, *x.shape]: replay fixed per-step draws
+        instead of splitting the key — the cross-framework parity hook
+        (the JAX analogue of seeding the reference's torch.randn_like,
+        v2/integrators.py:44-63)."""
         T = self.scheduler.T if nsteps is None else nsteps
         ts = jnp.arange(T, 0, -1, dtype=jnp.float32)
+        xs = {"t": ts}
+        if noise_seq is not None:
+            xs["noise"] = jnp.asarray(noise_seq, x.dtype)
 
-        def body(carry, t):
+        def body(carry, xrow):
             xc, kc = carry
             kc, sub = jax.random.split(kc)
-            xn = self.step_backward(sub, xc, t, noise_predictor, T)
+            xn = self.step_backward(sub, xc, xrow["t"], noise_predictor, T,
+                                    noise=xrow.get("noise"))
             return (xn, kc), (xn if record_history else None)
 
-        (xf, _), ys = jax.lax.scan(body, (x, key), ts)
+        (xf, _), ys = jax.lax.scan(body, (x, key), xs)
         if record_history:
             return jnp.concatenate([x[None], ys], axis=0)
         return xf
 
     def propagate_forward(self, key, x, nsteps: int | None = None,
-                          record_history: bool = False):
+                          record_history: bool = False, noise_seq=None):
         T = self.scheduler.T if nsteps is None else nsteps
         ts = jnp.arange(T, 0, -1, dtype=jnp.float32)
+        xs = {"t": ts}
+        if noise_seq is not None:
+            xs["noise"] = jnp.asarray(noise_seq, x.dtype)
 
-        def body(carry, t):
+        def body(carry, xrow):
             xc, kc = carry
             kc, sub = jax.random.split(kc)
-            xn = self.step_forward(sub, xc, t, T)
+            xn = self.step_forward(sub, xc, xrow["t"], T,
+                                   noise=xrow.get("noise"))
             return (xn, kc), (xn if record_history else None)
 
-        (xf, _), ys = jax.lax.scan(body, (x, key), ts)
+        (xf, _), ys = jax.lax.scan(body, (x, key), xs)
         if record_history:
             return jnp.concatenate([x[None], ys], axis=0)
         return xf
 
-    def step_forward(self, key, x, t, T):
+    def step_forward(self, key, x, t, T, noise=None):
         raise NotImplementedError
 
 
@@ -170,7 +183,7 @@ class ClassicalDDPMIntegrator(DDPMIntegratorBase):
     def noise_injector(self, t, T):
         raise NotImplementedError
 
-    def step_backward(self, key, x, t, noise_predictor, T):
+    def step_backward(self, key, x, t, noise_predictor, T, noise=None):
         # coefficients at [B]; the update runs as ONE fused pass
         # (kernels/fused_precondition.fused_lincomb3) — on TPU the C=1
         # channels-last elementwise chain would otherwise move 128x its
@@ -181,16 +194,18 @@ class ClassicalDDPMIntegrator(DDPMIntegratorBase):
         alpha_t = self.scheduler.alpha(tb, T)
         beta_t = 1 - alpha_t
         eps = noise_predictor(x, tb)
-        noise = jax.random.normal(key, x.shape, x.dtype)
+        if noise is None:
+            noise = jax.random.normal(key, x.shape, x.dtype)
         inv_sa = 1.0 / jnp.sqrt(alpha_t)
         a = inv_sa
         b = -beta_t / jnp.sqrt(1 - calpha_t) * inv_sa
         return fp.fused_lincomb3(x, eps, noise, a, b, sigma_t)
 
-    def step_forward(self, key, x, t, T):
+    def step_forward(self, key, x, t, T, noise=None):
         tb = jnp.broadcast_to(t, (x.shape[0],))
         beta_t = self.scheduler.beta(tb, T)
-        noise = jax.random.normal(key, x.shape, x.dtype)
+        if noise is None:
+            noise = jax.random.normal(key, x.shape, x.dtype)
         return fp.fused_axby(x, noise, jnp.sqrt(1 - beta_t),
                              jnp.sqrt(beta_t))
 
@@ -219,13 +234,14 @@ class GeneralizedDDPMIntegrator(DDPMIntegratorBase):
     def noise_injector(self, t, T):
         raise NotImplementedError
 
-    def step_backward(self, key, x, t, noise_predictor, T):
+    def step_backward(self, key, x, t, noise_predictor, T, noise=None):
         tb = jnp.broadcast_to(t, (x.shape[0],))
         sigma_t = self.noise_injector(tb, T)
         calpha_t = self.scheduler.calpha(tb, T)
         calpha_prev = self.scheduler.calpha(tb - 1, T)
         eps = noise_predictor(x, tb)
-        noise = jax.random.normal(key, x.shape, x.dtype)
+        if noise is None:
+            noise = jax.random.normal(key, x.shape, x.dtype)
         # x0_dir + xt_dir + sigma*noise folded to a·x + b·eps + c·noise
         inv_sca = 1.0 / jnp.sqrt(calpha_t)
         a = jnp.sqrt(calpha_prev) * inv_sca
@@ -233,11 +249,12 @@ class GeneralizedDDPMIntegrator(DDPMIntegratorBase):
         b = jnp.sqrt(xt_factor) - a * jnp.sqrt(1 - calpha_t)
         return fp.fused_lincomb3(x, eps, noise, a, b, sigma_t)
 
-    def step_forward(self, key, x, t, T):
+    def step_forward(self, key, x, t, T, noise=None):
         tb = jnp.broadcast_to(t, (x.shape[0],))
         calpha_t = self.scheduler.calpha(tb, T)
         calpha_prev = self.scheduler.calpha(tb - 1, T)
-        noise = jax.random.normal(key, x.shape, x.dtype)
+        if noise is None:
+            noise = jax.random.normal(key, x.shape, x.dtype)
         ratio = calpha_t / calpha_prev
         return fp.fused_axby(x, noise, jnp.sqrt(ratio), 1 - ratio)
 

@@ -328,14 +328,18 @@ class SIModel:
         # flowfield.py:219-227)
 
     def loss_fn(self, variables, key, x, t, y=None, mask=None,
-                train: bool = True):
+                train: bool = True, eps=None):
         """Flow-matching loss. Returns (loss, mutable_updates) — the same
         contract as KarrasModel.loss_fn; updates carries running initial-
-        norm stats when ``initial_norm=True`` (empty dict otherwise)."""
+        norm stats when ``initial_norm=True`` (empty dict otherwise).
+        ``eps`` replays a fixed noise draw (cross-framework parity hook,
+        the analogue of seeding the reference's torch.randn_like,
+        flowfield.py:355)."""
         knoise, kdrop, kenc = jax.random.split(key, 3)
         x, y = self.encode(x, y, key=kenc)
         x, updates = self._norm_fwd(variables, x, train)
-        noise = jax.random.normal(knoise, x.shape, x.dtype)
+        noise = (jax.random.normal(knoise, x.shape, x.dtype)
+                 if eps is None else jnp.asarray(eps, x.dtype))
         t_b = bcast_right(t, x)
         sch = self.config.scheduler
         x_noised = sch.alpha_fn(t_b) * x + sch.sigma_fn(t_b) * noise
@@ -354,7 +358,8 @@ class SIModel:
     def integration_step(self, key, variables, x, t_curr, t_next, y=None,
                          guidance: float = 1.0,
                          method: str = "euler",
-                         integrate_on_sigma: bool = False):
+                         integrate_on_sigma: bool = False,
+                         noise=None):
         sch = self.config.scheduler
         if not integrate_on_sigma:
             dt = t_next - t_curr
@@ -378,31 +383,35 @@ class SIModel:
             score = self.get_score_field_from_flow_field(v, x, t_curr)
             omega = bcast_right(sch.sigma_fn(t_curr), x)
             x = x + dt * (v - 0.5 * omega * score)
-            noise = jnp.sqrt(omega * jnp.abs(dt)) * jax.random.normal(
-                key, x.shape, x.dtype)
-            return x + noise
+            if noise is None:
+                noise = jax.random.normal(key, x.shape, x.dtype)
+            return x + jnp.sqrt(omega * jnp.abs(dt)) * noise
         raise ValueError(f"Invalid integration method: {method}")
 
     def integrate_flow_field(self, key, variables, x, nsteps: int,
                              y=None, guidance: float = 1.0,
                              return_history: bool = False,
                              integrate_on_sigma: bool = False,
-                             noise_injection: bool = False):
+                             noise_injection: bool = False,
+                             noise_seq=None):
         """Heun integration over linspace(1, 0, nsteps) with a final Euler
         step; Euler-Maruyama throughout when noise_injection
-        (flowfield.py:704-747). Scan-based."""
+        (flowfield.py:704-747). Scan-based. ``noise_seq`` [nsteps-1,
+        *x.shape] replays fixed Euler-Maruyama draws (parity hook)."""
         ts = np.linspace(1.0, 0.0, nsteps)
         B = x.shape[0]
 
         def make_step(method):
-            def step(carry, t_pair):
+            def step(carry, xrow):
                 xc, kc = carry
                 kc, sub = jax.random.split(kc)
+                t_pair = xrow["t"]
                 tc = jnp.broadcast_to(t_pair[0], (B,))
                 tn = jnp.broadcast_to(t_pair[1], (B,))
                 xn = self.integration_step(sub, variables, xc, tc, tn, y,
                                            guidance, method,
-                                           integrate_on_sigma)
+                                           integrate_on_sigma,
+                                           noise=xrow.get("noise"))
                 return (xn, kc), (xn if return_history else None)
             return step
 
@@ -410,14 +419,18 @@ class SIModel:
                             jnp.float32)
         x0 = x
         if noise_injection:
+            xs = {"t": pairs}
+            if noise_seq is not None:
+                xs["noise"] = jnp.asarray(noise_seq, x.dtype)
             (x, key), ys = jax.lax.scan(make_step("euler_maruyama"),
-                                        (x, key), pairs)
+                                        (x, key), xs)
         else:
             (x, key), ys = jax.lax.scan(make_step("heun"), (x, key),
-                                        pairs[:-1])
+                                        {"t": pairs[:-1]})
             # final step: Euler (the reference switches to Euler on the last
             # step, flowfield.py:726-729)
-            (x, key), y_last = make_step("euler")((x, key), pairs[-1])
+            (x, key), y_last = make_step("euler")((x, key),
+                                                  {"t": pairs[-1]})
             if return_history:
                 ys = jnp.concatenate([ys, y_last[None]], axis=0)
         if return_history:

@@ -95,6 +95,11 @@ def main():
                     help="128 = the reference's CIFAR-scale width")
     ap.add_argument("--expansion", type=int, nargs="+", default=[2, 4])
     ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--lr", type=float, default=1e-4,
+                    help="reference study trains at 1e-4 (stochasticity_"
+                         "paper/scripts/train-diffusion-mnist.py:36); the "
+                         "framework's 1e-3 default diverges at 128ch")
+    ap.add_argument("--log-dir", default="runs/stochasticity_study")
     ap.add_argument("--classifier-fid", action="store_true",
                     help="also score in trained-classifier feature space "
                          "(MinimalResNet on the slot-occupancy labels)")
@@ -108,6 +113,7 @@ def main():
     from diffsci_tpu.data import ShapesDataset
     from diffsci_tpu.models import (EMATracker, KarrasModel,
                                     KarrasModelConfig, PUNetG, PUNetGConfig)
+    from diffsci_tpu.models.karras.train import default_optimizer
     from diffsci_tpu.trainer import fit_karras
     from diffsci_tpu.metrics import fid
 
@@ -125,7 +131,8 @@ def main():
         model, xs, batch_size=args.batch_size,
         max_epochs=args.steps,  # outer bound only; max_steps terminates
         max_steps=args.steps, ema=ema, val_fraction=0.05,
-        log_dir="runs/stochasticity_study")
+        optimizer=default_optimizer(args.lr),
+        log_dir=args.log_dir)
     print(f"trained to step {int(state.step)}")
     variables = state.ema_variables(ema)
 
