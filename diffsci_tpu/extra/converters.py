@@ -153,6 +153,17 @@ def import_torch_state_dict(state_dict: dict, name_map: dict[str, str],
     return jax.tree_util.tree_unflatten(treedef, ordered)
 
 
+def scope_name_map(name_map: dict[str, str], scope: str) -> dict[str, str]:
+    """Re-root a flax-path -> torch-key map one module scope deeper, e.g.
+    scope='model/' when the net lives inside a KarrasNet wrapper, or
+    'unet/' for PUNetGDeterministic's inner PUNetG."""
+    out = {}
+    for path, torch_key in name_map.items():
+        collection, rest = path.split("/", 1)
+        out[f"{collection}/{scope}{rest}"] = torch_key
+    return out
+
+
 # ---------------------------------------------------------------------------
 # reference PUNetG state-dict import
 # ---------------------------------------------------------------------------
@@ -169,6 +180,16 @@ _PUNETG_PREFIX_RULES = [
      lambda m: ("attn_res_{}".format(m.group(1)), m.group(2))),
     (re.compile(r"^attn_block\.(\d+)\.(.*)$"),
      lambda m: ("attn_{}".format(m.group(1)), m.group(2))),
+    # encoder-half bottleneck naming (punetg_encdec.py:75-89):
+    # ModuleList([before, attn_resnet, attn, after])
+    (re.compile(r"^bottom_blocks\.0\.(\d+)\.(.*)$"),
+     lambda m: ("before_res_{}".format(m.group(1)), m.group(2))),
+    (re.compile(r"^bottom_blocks\.1\.(\d+)\.(.*)$"),
+     lambda m: ("attn_res_{}".format(m.group(1)), m.group(2))),
+    (re.compile(r"^bottom_blocks\.2\.(\d+)\.(.*)$"),
+     lambda m: ("attn_{}".format(m.group(1)), m.group(2))),
+    (re.compile(r"^bottom_blocks\.3\.(\d+)\.(.*)$"),
+     lambda m: ("after_res_{}".format(m.group(1)), m.group(2))),
     (re.compile(r"^downsamplers\.(\d+)\.conv\.(.*)$"),
      lambda m: ("downsampler_{}/Conv_0".format(m.group(1)), m.group(2))),
     (re.compile(r"^upsamplers\.(\d+)\.conv\.(.*)$"),

@@ -158,9 +158,10 @@ class EnsembleKarrasModel(KarrasModel):
     # ensemble loss (karrasmodule_new.py:963-1149)
     # ------------------------------------------------------------------
     def loss_fn(self, variables, key, x, sigma, y=None, mask=None,
-                train: bool = True, n_ensemble: int = 1):
+                train: bool = True, n_ensemble: int = 1, eps=None):
         if n_ensemble <= 1:
-            return super().loss_fn(variables, key, x, sigma, y, mask, train)
+            return super().loss_fn(variables, key, x, sigma, y, mask, train,
+                                   eps=eps)
 
         knoise, kdrop, kenc = jax.random.split(key, 3)
         x_latent, y, updates = self.encode(variables, x, y, key=kenc,
@@ -170,7 +171,9 @@ class EnsembleKarrasModel(KarrasModel):
         feat = x_latent.shape[1:]
 
         sigma_b = bcast_right(sigma, x_latent)
-        noise = jax.random.normal(knoise, (B, E) + feat, x_latent.dtype)
+        if eps is None:
+            eps = jax.random.normal(knoise, (B, E) + feat, x_latent.dtype)
+        noise = jnp.asarray(eps, x_latent.dtype)
         x_noised = x_latent[:, None] + sigma_b[:, None] * noise
 
         # flatten ensemble into the batch for ONE denoiser call
@@ -203,14 +206,23 @@ class EnsembleKarrasModel(KarrasModel):
             # the [B, E, ...] vs [B, ...] pair themselves
             raw = self._loss_metric(denoiser, x_latent, mask)
         else:
+            # elementwise metrics go through the EnsembleAware* wrappers in
+            # the reference (custom_losses.py:582-688): reduce to a scalar
+            # BEFORE weighting; masked sums normalize by the per-sample
+            # valid count WITHOUT the ensemble factor
             raw = self._loss_metric(denoiser, x_latent[:, None], mask)
-        if self._loss_reduces or jnp.ndim(raw) == 0:
-            loss = jnp.mean(weight) * raw + jnp.mean(bias)
-        else:
-            # raw is [B, E, ...]; weight broadcasts over the E axis
             if mask is not None:
-                raw = raw * (1.0 - jnp.broadcast_to(mask, raw.shape))
-            loss = jnp.mean(weight[:, None] * raw + bias[:, None])
+                keep = 1.0 - jnp.broadcast_to(mask, x_latent.shape)
+                per_b = (raw * keep[:, None]).sum(
+                    axis=tuple(range(1, raw.ndim)))
+                count = jnp.clip(
+                    keep.sum(axis=tuple(range(1, keep.ndim))), 1.0)
+                raw = jnp.mean(per_b / count)
+            else:
+                raw = jnp.mean(raw)
+        # scalar loss: weight.mean() * loss + bias.mean()
+        # (karrasmodule_new.py:1145-1149)
+        loss = jnp.mean(weight) * raw + jnp.mean(bias)
         return loss, updates
 
     # ------------------------------------------------------------------

@@ -255,7 +255,10 @@ class SliceResnetBlockC(nn.Module):
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = layers.conv_layer(self.convolution_type, ch, self.kernel_size,
                               self.use_bias)(ndim)(h)
-        return h + x
+        # no skip: the reference passes output_channels explicitly
+        # (punetv.py:536), which disables ResnetBlockC's residual
+        # connection (commonlayers.py:752-756)
+        return h
 
 
 class PUNetV(nn.Module):

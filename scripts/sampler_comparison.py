@@ -24,6 +24,15 @@ def main():
     ap.add_argument("--size", type=int, default=32)
     ap.add_argument("--num-data", type=int, default=4096)
     ap.add_argument("--nsamples", type=int, default=512)
+    ap.add_argument("--model-channels", type=int, default=32,
+                    help="128 = the reference's CIFAR-scale width")
+    ap.add_argument("--expansion", type=int, nargs="+", default=[2, 4])
+    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--lr", type=float, default=1e-3,
+                    help="use 1e-4 at 128ch (1e-3 diverges there)")
+    ap.add_argument("--classifier-fid", action="store_true",
+                    help="also score in trained-classifier feature space")
+    ap.add_argument("--log-dir", default="runs/sampler_comparison")
     ap.add_argument("--out",
                     default="docs/artifacts/sampler_comparison.json")
     args = ap.parse_args()
@@ -33,29 +42,38 @@ def main():
     from diffsci_tpu.data import ShapesDataset
     from diffsci_tpu.models import (EMATracker, KarrasModel,
                                     KarrasModelConfig, PUNetG, PUNetGConfig)
+    from diffsci_tpu.models.karras.train import default_optimizer
     from diffsci_tpu.trainer import fit_karras
     from diffsci_tpu.metrics import fid
 
-    xs = ShapesDataset(args.num_data, size=args.size,
-                       mode="paper_replica").generate()
+    xs, xlabels = ShapesDataset(args.num_data, size=args.size,
+                                mode="paper_replica").generate_labeled()
     held_out = ShapesDataset(args.nsamples, size=args.size,
                              mode="paper_replica", seed=123).generate()
     print(f"data {xs.shape}, devices {jax.devices()}")
 
-    net = PUNetG(PUNetGConfig(model_channels=32, channel_expansion=[2, 4]))
+    net = PUNetG(PUNetGConfig(model_channels=args.model_channels,
+                              channel_expansion=list(args.expansion)))
     model = KarrasModel(net, KarrasModelConfig.from_edm())
     ema = EMATracker(ema_type="power", power_function_stds=[0.05])
     state, _ = fit_karras(
-        model, xs, batch_size=128,
+        model, xs, batch_size=args.batch_size,
         max_epochs=args.steps,  # outer bound only; max_steps terminates
         max_steps=args.steps, ema=ema, val_fraction=0.05,
-        log_dir="runs/sampler_comparison")
+        optimizer=default_optimizer(args.lr),
+        log_dir=args.log_dir)
     variables = state.ema_variables(ema)
 
     def features(x):
         return np.asarray(x, np.float64).reshape(x.shape[0], -1)
 
+    cls_feat = None
+    if args.classifier_fid:
+        from stochasticity_study import _train_classifier_features
+        cls_feat = _train_classifier_features(xs, xlabels, args.size)
+
     real_f = features(held_out)
+    real_cf = cls_feat(held_out) if cls_feat else None
     # (label, integrator, nsteps, nfe): Heun evaluates 2n-1 times
     grid = [
         ("euler@10", "euler", 10, 10),
@@ -76,7 +94,12 @@ def main():
         score = float(fid(real_f, features(samples)))
         results[label] = {"integrator": integ, "nsteps": nsteps,
                           "nfe": nfe, "fid": score}
-        print(f"{label}: NFE={nfe} FID={score:.3f}")
+        if cls_feat:
+            results[label]["classifier_fid"] = float(
+                fid(real_cf, cls_feat(samples)))
+        print(f"{label}: NFE={nfe} " + ", ".join(
+            f"{k}={v}" for k, v in results[label].items()
+            if k.endswith("fid")), flush=True)
 
     claims = {
         "dpm_beats_euler_at_10_nfe":
@@ -91,7 +114,9 @@ def main():
         "dataset": f"shapes_paper_replica_{args.size}",
         "train_steps": int(state.step),
         "nsamples": args.nsamples,
-        "feature_space": "pixel (relative comparison only)",
+        "model_channels": args.model_channels,
+        "feature_space": ("pixel + trained-classifier" if cls_feat
+                          else "pixel (relative comparison only)"),
         "results": results,
         "claims": claims,
     }
