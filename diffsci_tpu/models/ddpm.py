@@ -354,10 +354,13 @@ class DDPMModel:
                                   self.config.scheduler.T + 1
                                   ).astype(jnp.float32)
 
-    def loss_fn(self, variables, key, x, t, y=None, train: bool = True):
-        """epsilon-matching loss (v2/ddpmmodule.py:158-205)."""
+    def loss_fn(self, variables, key, x, t, y=None, train: bool = True,
+                eps=None):
+        """epsilon-matching loss (v2/ddpmmodule.py:158-205). ``eps``
+        replays a fixed noise draw (cross-framework parity hook)."""
         knoise, kdrop = jax.random.split(key)
-        noise = jax.random.normal(knoise, x.shape, x.dtype)
+        noise = (jax.random.normal(knoise, x.shape, x.dtype)
+                 if eps is None else jnp.asarray(eps, x.dtype))
         calpha = bcast_right(self.config.scheduler.calpha(t), x)
         x_noised = jnp.sqrt(calpha) * x + jnp.sqrt(1 - calpha) * noise
         rngs = {"dropout": kdrop} if train else None

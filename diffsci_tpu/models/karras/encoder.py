@@ -76,11 +76,12 @@ class KarrasEncoderModel(KarrasModel):
                               method=type(self.net).encode_condition)
 
     def loss_fn(self, variables, key, x, sigma, y=None, mask=None,
-                train: bool = True):
+                train: bool = True, eps=None):
         """Derive y from the encoder, then the standard EDM loss
         (karrasencoder.py:37-44)."""
         y = self.encode_condition(variables, x, train=train)
-        return super().loss_fn(variables, key, x, sigma, y, mask, train)
+        return super().loss_fn(variables, key, x, sigma, y, mask, train,
+                               eps=eps)
 
     def select_batch(self, batch):
         """Batches are unconditional; the condition is learned

@@ -26,12 +26,16 @@ class ForecastModelConfig:
                  freeze_autoencoder: bool = True,
                  norm: float = 1.0,
                  spatial_shape=None,
-                 focus_radius=None):
+                 focus_radius=None,
+                 spatial_weight_map=None):
         self.loss_metric = loss_metric
         self.freeze_autoencoder = freeze_autoencoder
         self.norm = norm
         self.spatial_shape = spatial_shape
         self.focus_radius = focus_radius
+        # per-pixel loss weighting, broadcast over batch/channels
+        # (ForecastModule.py:490-498)
+        self.spatial_weight_map = spatial_weight_map
 
     @classmethod
     def from_simple(cls, loss_metric: str = "huber", **kwargs):
@@ -122,7 +126,16 @@ class ForecastModel:
             return self._loss_metric(pred, x_latent, mask)
         raw = self._loss_metric(pred, x_latent, mask)
         if mask is not None:
-            raw = raw * (1 - jnp.broadcast_to(mask, raw.shape))
+            # forecast masks are 1=include (ForecastModule.py:469-488) —
+            # the OPPOSITE of the Karras stack's 1=exclude convention —
+            # and the mean stays over ALL elements, not just valid ones
+            raw = raw * jnp.broadcast_to(mask, raw.shape)
+        if self.config.spatial_weight_map is not None:
+            w = jnp.asarray(self.config.spatial_weight_map)
+            # [*spatial] -> [1, *spatial, 1] (channels-last analogue of
+            # ForecastModule.py:490-498's [1, 1, H, W])
+            w = w[None, ..., None]
+            raw = raw * w
         return jnp.mean(raw)
 
     def predict(self, variables, y, return_latent: bool = False):

@@ -31,11 +31,12 @@ class SDEScheduler:
     """(reference sde/schedulers/sde_schedulers.py:6-135)"""
 
     def __init__(self, T: float = 1.0, Tmin: float = 1e-5,
-                 stabilizer: float = 1e-2):
+                 stabilizer: float = 1e-8):
         self.T = T
         self.Tmin = Tmin
-        # variance floor stabilizing the score near t -> 0
-        # (sde_schedulers.py:89-90)
+        # variance floor stabilizing the score near t -> 0; the reference
+        # ignores its ctor arg and always uses the global constant 1e-8
+        # (sde_schedulers.py:24-25, global_constants.py:1)
         self.stabilizer = stabilizer
 
     def mean(self, t, x):
@@ -84,7 +85,9 @@ class VPScheduler(SDEScheduler):
         return x * jnp.exp(-0.5 * bcast_right(self.betaint(t), x))
 
     def std2_(self, t):
-        return 1.0 - jnp.exp(-self.betaint(t))
+        # -expm1, not 1-exp: XLA's vectorized exp can return >1 for tiny
+        # negative args, driving 1-exp(-x) below -stabilizer -> sqrt NaN
+        return -jnp.expm1(-self.betaint(t))
 
     def drift_term(self, t, x):
         return -0.5 * bcast_right(self.beta(t), x) * x
@@ -135,10 +138,10 @@ class SubVPScheduler(VPSchedulerLinear):
     diffusion (the reference's subvp file duplicates plain VP)."""
 
     def std2_(self, t):
-        return (1.0 - jnp.exp(-self.betaint(t))) ** 2
+        return jnp.expm1(-self.betaint(t)) ** 2
 
     def diffusion_term(self, t):
-        return jnp.sqrt(self.beta(t) * (1.0 - jnp.exp(-2 * self.betaint(t))))
+        return jnp.sqrt(self.beta(t) * -jnp.expm1(-2 * self.betaint(t)))
 
 
 class VEScheduler(SDEScheduler):
@@ -168,16 +171,50 @@ class VEScheduler(SDEScheduler):
         return self.sigma(t) * jnp.sqrt(2.0 * log_ratio / self.T)
 
 
+class VESchedulerSqrt(SDEScheduler):
+    """g(t) = sqrt(2t): std^2(t) = t^2 — the reference's only concrete
+    VE instantiation (ve_schedulers.py:96-104)."""
+
+    def mean(self, t, x):
+        return x
+
+    def std2_(self, t):
+        return t ** 2
+
+    def drift_term(self, t, x):
+        return jnp.zeros_like(x)
+
+    def diffusion_term(self, t):
+        return jnp.sqrt(2.0 * t)
+
+
 def sde_loss_fn(scheduler: SDEScheduler, noise_predictor, variables, key,
-                x, y=None, train: bool = True):
-    """Denoising score matching: predict the injected noise
-    (reference sde/trainers analogue)."""
+                x, y=None, train: bool = True, loss_metric: str = "mse",
+                loss_scale_factor: float = 1.0, t=None, eps=None):
+    """Denoising score matching with the reference's 1/std weighting
+    (sdemodule.py:75-101, sdetrainers.py:114-148):
+    ``scale * mean((1/std) * metric(std*score, -noise))``. Expressed in
+    this stack's noise-prediction convention (pred == -std*score) the
+    metric pair becomes (pred, noise) — identical values for the
+    sign-symmetric mse/huber metrics. ``t``/``eps`` replay fixed draws
+    (cross-framework parity hook)."""
     kt, kn, kd = jax.random.split(key, 3)
-    t = scheduler.sample_time(kt, x.shape[0])
-    x_noised, noise = scheduler.sample_noise_at_t(kn, t, x)
+    if t is None:
+        t = scheduler.sample_time(kt, x.shape[0])
+    std = bcast_right(scheduler.std(t), x)
+    if eps is None:
+        x_noised, noise = scheduler.sample_noise_at_t(kn, t, x)
+    else:
+        noise = jnp.asarray(eps, x.dtype)
+        x_noised = scheduler.mean(t, x) + std * noise
     rngs = {"dropout": kd} if train else None
     pred = noise_predictor(variables, x_noised, t, y, train=train, rngs=rngs)
-    return jnp.mean((pred - noise) ** 2)
+    if loss_metric == "huber":
+        from diffsci_tpu.ops import losses as losses_lib
+        raw = losses_lib.huber(pred, noise)
+    else:
+        raw = (pred - noise) ** 2
+    return loss_scale_factor * jnp.mean(raw / std)
 
 
 def _score_from_noise(scheduler, noise_predictor, variables, x, t, y):
@@ -216,12 +253,15 @@ def sde_sampler(scheduler: SDEScheduler, noise_predictor, variables, key,
 
 def pf_sampler(scheduler: SDEScheduler, noise_predictor, variables, key,
                nsamples: int, shape, y=None, nsteps: int = 1000,
-               record_history: bool = False):
-    """Probability-flow ODE sampler (sde/samplers/pfsamplers.py:8):
-    dx = [f - g^2 score / 2] dt, integrated with Heun."""
-    x = scheduler.sample_fully_noised(key, nsamples, shape)
+               record_history: bool = False, method: str = "heun",
+               x0=None):
+    """Probability-flow ODE sampler (sde/samplers/pfsamplers.py:103-125):
+    dx = [f - g^2 score / 2] dt, Euler or Heun. ``x0`` overrides the
+    fully-noised start (matches the reference's ``forward(x)`` entry)."""
+    x = (scheduler.sample_fully_noised(key, nsamples, shape)
+         if x0 is None else jnp.asarray(x0))
+    nsamples = x.shape[0]
     ts = np.linspace(scheduler.T, scheduler.Tmin, nsteps + 1)
-    dts = np.diff(ts)
 
     def rhs(xc, t):
         tb = jnp.full((nsamples,), t)
@@ -232,14 +272,20 @@ def pf_sampler(scheduler: SDEScheduler, noise_predictor, variables, key,
 
     def body(carry, t_pair):
         xc, = carry
-        t, dt = t_pair
+        # carry the exact next grid time: recomputing t + dt in float32
+        # can round below 0 at the final step and NaN sqrt(beta(t))
+        t, t_next = t_pair
+        dt = t_next - t
         r1 = rhs(xc, t)
-        xe = xc + dt * r1
-        r2 = rhs(xe, t + dt)
-        xn = xc + 0.5 * dt * (r1 + r2)
+        if method == "euler":
+            xn = xc + dt * r1
+        else:
+            xe = xc + dt * r1
+            r2 = rhs(xe, t_next)
+            xn = xc + 0.5 * dt * (r1 + r2)
         return (xn,), (xn if record_history else None)
 
-    pairs = jnp.asarray(np.stack([ts[:-1], dts], 1), jnp.float32)
+    pairs = jnp.asarray(np.stack([ts[:-1], ts[1:]], 1), jnp.float32)
     (x,), ys = jax.lax.scan(body, (x,), pairs)
     if record_history:
         return ys
@@ -265,9 +311,10 @@ class SDEModel:
                         rngs=None):
         return self.model.apply(variables, x, t, y, train=train, rngs=rngs)
 
-    def loss_fn(self, variables, key, x, y=None, train: bool = True):
+    def loss_fn(self, variables, key, x, y=None, train: bool = True,
+                **kwargs):
         return sde_loss_fn(self.scheduler, self.noise_predictor, variables,
-                           key, x, y, train)
+                           key, x, y, train, **kwargs)
 
     def sample(self, variables, key, nsamples, shape, y=None,
                nsteps: int = 1000, probability_flow: bool = False,

@@ -335,7 +335,12 @@ def test_sde_model_end_to_end():
     """Oracle noise predictor on a point mass: sampling converges."""
     from diffsci_tpu.models.sde import SDEModel, VPSchedulerConstant
 
-    sched = VPSchedulerConstant(coef=8.0)
+    # Tmin must stay >= the uniform grid step: the reference's pf sampler
+    # (pfsamplers.py:62-68) integrates a rhs ~ (x-m)/std2(t) on a uniform
+    # grid, which diverges once dt > t (stiff); with the reference's true
+    # 1e-8 stabilizer the old Tmin=1e-5 default amplifies an oracle score
+    # ~100x over the last few steps in ANY framework.
+    sched = VPSchedulerConstant(coef=8.0, Tmin=5e-3)
 
     class OracleEps(nn.Module):
         @nn.compact
