@@ -71,6 +71,11 @@ def main():
     ap.add_argument("--inception-weights", default=None,
                     help="pt_inception-2015-12-05.pth for reference-"
                          "comparable Inception-FID")
+    ap.add_argument("--fld", action="store_true",
+                    help="also compute the native FLD (metrics.fld): the "
+                         "real features are split into fit/test halves, "
+                         "mirroring the reference's train/test MNIST split "
+                         "(test-diffusion-mnist-fld-fid.py:211-292)")
     ap.add_argument("--stochastic", action="store_true")
     ap.add_argument("--gamma", type=float, default=0.0,
                     help="Langevin churn strength (stochasticity sweep)")
@@ -177,6 +182,12 @@ def main():
         "gen_mean": float(gen.mean()), "gen_std": float(gen.std()),
         "real_mean": float(real.mean()), "real_std": float(real.std()),
     }
+    if args.fld:
+        from diffsci_tpu.metrics import fld, fld_generalization_gap
+        half = len(f_real) // 2
+        result["fld"] = float(fld(f_real[:half], f_real[half:], f_gen))
+        result["fld_gen_gap"] = float(
+            fld_generalization_gap(f_real[:half], f_gen))
     print(json.dumps(result))
 
 

@@ -381,6 +381,34 @@ def test_fid_zero_for_identical_and_positive_for_shifted():
     assert abs(stats["mean"]) < 0.1 and abs(stats["std"] - 1.0) < 0.1
 
 
+def test_fld_orders_models_and_detects_memorization():
+    """FLD ~0 for true-distribution samples, large for shifted samples,
+    and — the property FID lacks — WORSE for verbatim train copies than
+    for fresh samples (Jiralerspong et al. 2023 structure)."""
+    from diffsci_tpu.metrics import fld, fld_generalization_gap
+    rng = np.random.default_rng(0)
+    d = 6
+    train = rng.standard_normal((3000, d))
+    test = rng.standard_normal((1500, d))
+    fresh = rng.standard_normal((600, d))
+    shifted = rng.standard_normal((600, d)) + 2.5
+    memorized = train[:600]  # exact copies of training points
+
+    kw = dict(n_iters=150, lr=0.1, seed=1)
+    f_fresh = fld(train, test, fresh, **kw)
+    f_shift = fld(train, test, shifted, **kw)
+    f_mem = fld(train, test, memorized, **kw)
+    # self-calibrated: true samples score near the train-subset baseline
+    assert abs(f_fresh) < 25.0
+    assert f_shift > f_fresh + 50.0
+    assert f_mem > f_fresh + 3.0  # memorization penalized (measured ~6.6 vs ~0.1)
+
+    # the generalization-gap diagnostic separates the same pair
+    g_fresh = fld_generalization_gap(train, fresh, **kw)
+    g_mem = fld_generalization_gap(train, memorized, **kw)
+    assert g_mem > g_fresh + 5.0
+
+
 # ---------------------------------------------------------------------------
 # edge-detection loss preprocessor (reference preprocessors.py:28-352)
 # ---------------------------------------------------------------------------
