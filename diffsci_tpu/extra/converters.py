@@ -312,12 +312,14 @@ _TORCH_MHA_RE = re.compile(r"^attn_block\.(\d+)\.mhattn\.(.+)$")
 
 
 def import_reference_punetg(state_dict: dict, dst_template: Any,
-                            num_heads: int = 1) -> Any:
+                            num_heads: int = 1, scope: str = "") -> Any:
     """Import a reference PUNetG state dict (punetg.py:80-106) into our
     PUNetG variables, including torch.nn.MultiheadAttention bottleneck
     layers (attention.py:30-36): the packed in_proj [3C, C] is split into
     per-head q/k/v tensors [H, C, dh] and out_proj [C, C] into [H, C, dh]
     matching our einsum conventions (models/nets/attention.py:91-114).
+    ``scope``: extra flax scope when the PUNetG is nested (e.g. 'unet/'
+    for PUNetGCond, punetg.py:262-284).
     """
     sd = dict(state_dict)
     pre = {}
@@ -327,7 +329,7 @@ def import_reference_punetg(state_dict: dict, dst_template: Any,
         if m is None:
             continue
         j, rest = m.group(1), m.group(2)
-        scope = f"params/attn_{j}/MultiHeadAttention_0"
+        mha_scope = f"params/{scope}attn_{j}/MultiHeadAttention_0"
         w = np.asarray(sd.pop(key))
         H = num_heads
         if rest == "in_proj_weight":
@@ -336,25 +338,27 @@ def import_reference_punetg(state_dict: dict, dst_template: Any,
             for i, nm in enumerate(("q", "k", "v")):
                 # torch: q[t, h*dh+d] = sum_c x[t,c] W[h*dh+d, c]
                 # ours:  q[h, t, d]   = sum_c x[t,c] w[h, c, d]
-                pre[f"{scope}/w_{nm}"] = \
+                pre[f"{mha_scope}/w_{nm}"] = \
                     w[i * C:(i + 1) * C].reshape(H, dh, C).transpose(0, 2, 1)
         elif rest == "in_proj_bias":
             C = w.shape[0] // 3
             dh = C // H
             for i, nm in enumerate(("q", "k", "v")):
-                pre[f"{scope}/bias_{nm}"] = \
+                pre[f"{mha_scope}/bias_{nm}"] = \
                     w[i * C:(i + 1) * C].reshape(H, 1, dh)
         elif rest == "out_proj.weight":
             C = w.shape[0]
             dh = C // H
             # torch: y[t, c] = sum_{h,d} o[t, h*dh+d] W[c, h*dh+d]
             # ours:  y[t, c] = sum_{h,d} o[h, t, d] w[h, c, d]
-            pre[f"{scope}/w_o"] = w.reshape(C, H, dh).transpose(1, 0, 2)
+            pre[f"{mha_scope}/w_o"] = w.reshape(C, H, dh).transpose(1, 0, 2)
         elif rest == "out_proj.bias":
-            pre[f"{scope}/bias_o"] = w
+            pre[f"{mha_scope}/bias_o"] = w
         else:
             raise KeyError(f"unmapped attention key: {key}")
     name_map = punetg_reference_name_map(sd.keys())
+    if scope:
+        name_map = scope_name_map(name_map, scope)
     merged = dict(sd)
     merged.update(pre)
     for path in pre:
@@ -402,20 +406,20 @@ def _mha_pre_convert(scope: str, rest: str, w: np.ndarray,
         C = w.shape[1]
         dh = C // H
         for i, nm in enumerate(("q", "k", "v")):
-            pre[f"{scope}/w_{nm}"] = \
+            pre[f"{mha_scope}/w_{nm}"] = \
                 w[i * C:(i + 1) * C].reshape(H, dh, C).transpose(0, 2, 1)
     elif rest == "in_proj_bias":
         C = w.shape[0] // 3
         dh = C // H
         for i, nm in enumerate(("q", "k", "v")):
-            pre[f"{scope}/bias_{nm}"] = \
+            pre[f"{mha_scope}/bias_{nm}"] = \
                 w[i * C:(i + 1) * C].reshape(H, 1, dh)
     elif rest == "out_proj.weight":
         C = w.shape[0]
         dh = C // H
-        pre[f"{scope}/w_o"] = w.reshape(C, H, dh).transpose(1, 0, 2)
+        pre[f"{mha_scope}/w_o"] = w.reshape(C, H, dh).transpose(1, 0, 2)
     elif rest == "out_proj.bias":
-        pre[f"{scope}/bias_o"] = w
+        pre[f"{mha_scope}/bias_o"] = w
     else:
         raise KeyError(f"unmapped attention leaf: {rest}")
     return pre

@@ -58,8 +58,10 @@ class TwoPointCorrelationEmbedder(nn.Module):
 
 
 class _TransformerEncoder(nn.Module):
-    """Minimal pre-LN transformer encoder stack (the analogue of
-    torch.nn.TransformerEncoder used at embedder.py:92-101)."""
+    """Post-LN transformer encoder stack matching
+    torch.nn.TransformerEncoder's defaults (norm_first=False, relu),
+    the exact module used at embedder.py:92-101: x = LN(x + MHA(x)),
+    then x = LN(x + FFN(x))."""
     dmodel: int
     nhead: int
     ffn_expansion: int
@@ -68,14 +70,12 @@ class _TransformerEncoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_layers):
-            h = nn.LayerNorm()(x)
-            h = nn.MultiHeadDotProductAttention(num_heads=self.nhead)(h, h)
-            x = x + h
-            h = nn.LayerNorm()(x)
-            h = nn.Dense(self.dmodel * self.ffn_expansion)(h)
+            h = nn.MultiHeadDotProductAttention(num_heads=self.nhead)(x, x)
+            x = nn.LayerNorm()(x + h)
+            h = nn.Dense(self.dmodel * self.ffn_expansion)(x)
             h = nn.relu(h)
             h = nn.Dense(self.dmodel)(h)
-            x = x + h
+            x = nn.LayerNorm()(x + h)
         return x
 
 
