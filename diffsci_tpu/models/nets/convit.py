@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from diffsci_tpu.models.nets.layers import (GaussianFourierProjection,
-                                            BatchDropout, nearest_upsample)
+                                            BatchDropout)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -131,11 +131,14 @@ class ConVitAttention(nn.Module):
         h = self.num_heads
         dh = d // h
         bound = 6 / math.sqrt(d + dh)
-        init = nn.initializers.uniform(scale=2 * bound)
+
+        def init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
 
         def proj(name):
-            w = self.param(name, init, (d, dh, h)) - bound
-            return w
+            # stored param IS the effective weight (same (d, dh, h) layout
+            # as the reference's *_proj_tensor, convit.py:426-437)
+            return self.param(name, init, (d, dh, h))
 
         wq, wk, wv, wo = proj("q"), proj("k"), proj("v"), proj("o")
         scale = math.sqrt(dh)
@@ -218,7 +221,9 @@ class _SwiGLU(nn.Module):
         g = nn.Dense(self.embed_dim * 4)(x)
         out = nn.Dense(self.embed_dim)(nn.silu(a) * g)
         if self.final_rms:
-            out = nn.RMSNorm()(out)
+            # torch.nn.RMSNorm(eps=None) uses finfo(dtype).eps
+            # (convit.py:342), not flax's 1e-6 default
+            out = nn.RMSNorm(epsilon=float(jnp.finfo(jnp.float32).eps))(out)
         return out
 
 
@@ -257,7 +262,12 @@ class ConVitBlock(nn.Module):
             h = nn.ConvTranspose(d, (2 * f,) * ndim, strides=(f,) * ndim,
                                  padding="SAME")(h)
         else:
-            h = nearest_upsample(h, f)
+            # the reference's convless Upsample is (bi/tri)linear with
+            # align_corners=False (convit.py:82-91) — half-pixel centers,
+            # which jax.image.resize 'linear' matches exactly
+            up_shape = (h.shape[0],) + tuple(s * f for s in h.shape[1:-1]) \
+                + (h.shape[-1],)
+            h = jax.image.resize(h, up_shape, method="linear")
 
         # depthwise + pointwise conv pathway (convit.py:586-596,618-622)
         hc = nn.Conv(d, (cfg.kernel_size_depthwise,) * ndim,
