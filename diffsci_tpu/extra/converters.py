@@ -535,7 +535,7 @@ def import_reference_autoencoderkl(state_dict: dict,
         if not m:
             raise KeyError(f"unmapped reference AutoencoderKL key: {key}")
         side, rest = m.group(1), m.group(2)
-        base = f"params/{side}"
+        base = f"params/{root}{side}"
         mm = re.match(r"^(conv_in|conv_out)\.(weight|bias)$", rest)
         if mm:
             leaf = "kernel" if mm.group(2) == "weight" else "bias"
@@ -583,7 +583,7 @@ def import_reference_autoencoderkl(state_dict: dict,
 
 
 def import_reference_vaenet(state_dict: dict, dst_template: Any,
-                            config) -> Any:
+                            config, root: str = "") -> Any:
     """Import a reference VAENet state dict (vaenet.py:1231-1290) into
     our VAENet variables (models/nets/vaenet.py). The reference names
     blocks down.i.block.j / mid.block_k / up.i.block.j; our encoder and
@@ -626,7 +626,7 @@ def import_reference_vaenet(state_dict: dict, dst_template: Any,
         if not m:
             raise KeyError(f"unmapped reference VAENet key: {key}")
         side, rest = m.group(1), m.group(2)
-        base = f"params/{side}"
+        base = f"params/{root}{side}"
         # strip wrapper scopes: every bare 'conv' segment (the patched-conv
         # wrapper, plus the up/downsample module's own .conv attribute —
         # they stack, e.g. 'up.1.upsample.conv.conv.weight')

@@ -265,9 +265,12 @@ class DiagonalGaussianDistribution:
             self.std = jnp.exp(0.5 * self.logvar)
             self.var = jnp.exp(self.logvar)
 
-    def sample(self, key):
-        return self.mean + self.std * jax.random.normal(
-            key, self.mean.shape, self.mean.dtype)
+    def sample(self, key, eps=None):
+        """``eps`` replays a fixed standard-normal draw (cross-framework
+        parity hook, mirrors vaemodule.py:792-796)."""
+        if eps is None:
+            eps = jax.random.normal(key, self.mean.shape, self.mean.dtype)
+        return self.mean + self.std * jnp.asarray(eps, self.mean.dtype)
 
     def _axes(self):
         return tuple(range(1, self.mean.ndim))
@@ -291,8 +294,10 @@ class DiagonalGaussianDistribution:
 
     def kl_thresholded(self, other=None, threshold: float = 0.5):
         """Per-latent-channel KL floored at ``threshold``
-        (vaemodule.py:813-835): free-bits style."""
-        axes = tuple(range(2, self.mean.ndim)) if self.mean.ndim > 2 else ()
+        (vaemodule.py:812-835): free-bits style. Channels-last: the
+        per-channel mean reduces over the SPATIAL axes (1..ndim-2) —
+        the analogue of the reference's NCHW dims=range(2, ndim)."""
+        axes = tuple(range(1, self.mean.ndim - 1))
         if other is None:
             core = self.mean ** 2 + self.var - 1.0 - self.logvar
         else:

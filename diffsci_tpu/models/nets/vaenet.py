@@ -299,6 +299,12 @@ class VAENet(nn.Module):
     def decode(self, z, time=None, train: bool = False):
         return self.decoder(z, time, train)
 
+    def encode_moments(self, x, time=None, train: bool = False):
+        """Raw posterior moments (the encoder already applies quant_conv,
+        mirroring reference vaenet.py:816) — the hook VAEModel's umbrella
+        uses (models/vae/module.py)."""
+        return self.encoder(x, time, train)
+
     def __call__(self, x, time=None, key=None, train: bool = False):
         moments = self.encode(x, time, train=train)
         return moments, self.decode(moments[..., :self.config.z_dim], time,

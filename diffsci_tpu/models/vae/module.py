@@ -149,11 +149,16 @@ class _VAENetWithLogvar(nn.Module):
         return jnp.ones((1,)) * self.logvar_init
 
     def encode_moments(self, x, train: bool = False):
+        # VAENet-style autoencoders bundle quant_conv inside the encoder
+        # and expose encode_moments; AutoencoderKL keeps it separate
+        if hasattr(self.autoencoder, "encode_moments"):
+            return self.autoencoder.encode_moments(x, train)
         h = self.autoencoder.encoder(x, train)
         return self.autoencoder.quant_conv(h)
 
     def decode(self, z, train: bool = False):
-        return self.autoencoder.decode(z, train)
+        # keyword: VAENet.decode's second positional is `time`
+        return self.autoencoder.decode(z, train=train)
 
     def __call__(self, x, key=None, train: bool = False):
         moments = self.encode_moments(x, train)
@@ -195,12 +200,15 @@ class VAEModel:
         return self.discriminator.init({"params": key}, x)
 
     def encode(self, variables, x, key=None, train: bool = False,
-               rngs=None):
+               rngs=None, eps=None):
         moments = self.net.apply(variables, x, train,
                                  method=_VAENetWithLogvar.encode_moments,
                                  rngs=rngs)
         post = DiagonalGaussianDistribution(moments)
-        z = post.sample(key) if key is not None else post.mode()
+        if key is not None or eps is not None:
+            z = post.sample(key, eps=eps)
+        else:
+            z = post.mode()
         return {"zdistrib": post, "zsample": z}
 
     def decode(self, variables, z, train: bool = False, rngs=None):
@@ -210,17 +218,21 @@ class VAEModel:
     # ------------------------------------------------------------------
     # losses (vaemodule.py:233-339)
     # ------------------------------------------------------------------
-    def loss_fn(self, variables, key, x, y=None, train: bool = True):
+    def loss_fn(self, variables, key, x, y=None, train: bool = True,
+                eps=None):
+        """``eps`` replays a fixed z-noise draw into every posterior
+        sample this step takes (cross-framework parity hook)."""
         cfg = self.config
         ksamp, kdrop = jax.random.split(key)
         rngs = {"dropout": kdrop} if train else None
 
         if cfg.distillation_training_only:
             loss, logs = self._distillation_loss(variables, ksamp, x, None,
-                                                 None, train, rngs)
+                                                 None, train, rngs, eps=eps)
             return loss, logs
 
-        enc = self.encode(variables, x, key=ksamp, train=train, rngs=rngs)
+        enc = self.encode(variables, x, key=ksamp, train=train, rngs=rngs,
+                          eps=eps)
         zdistrib = enc["zdistrib"]
         x_recon = self.decode(variables, enc["zsample"], train=train,
                               rngs=rngs)
@@ -254,7 +266,8 @@ class VAEModel:
 
         if cfg.has_distillation:
             dloss, dlogs = self._distillation_loss(
-                variables, ksamp, x, zdistrib, x_recon, train, rngs)
+                variables, ksamp, x, zdistrib, x_recon, train, rngs,
+                eps=eps)
             loss = ((1 - cfg.distillation_alpha) * loss
                     + cfg.distillation_alpha * dloss)
             logs.update(dlogs)
@@ -274,7 +287,7 @@ class VAEModel:
         return jnp.mean(val)
 
     def _distillation_loss(self, variables, key, x, zdistrib, x_recon,
-                           train, rngs):
+                           train, rngs, eps=None):
         """(vaemodule.py:300-399). ``config.teacher`` exposes
         encode_moments(x) and decode(z) bound to frozen params."""
         cfg = self.config
@@ -297,20 +310,20 @@ class VAEModel:
         elif cfg.teaching_mode == "encoder":
             if zdistrib is None:
                 zdistrib = self.encode(variables, x, key=key, train=train,
-                                       rngs=rngs)["zdistrib"]
+                                       rngs=rngs, eps=eps)["zdistrib"]
             tz = DiagonalGaussianDistribution(
                 jax.lax.stop_gradient(teacher.encode_moments(x)))
             latent_loss = self._latent_matching(zdistrib, tz)
         else:  # both
             if zdistrib is None:
                 enc = self.encode(variables, x, key=key, train=train,
-                                  rngs=rngs)
+                                  rngs=rngs, eps=eps)
                 zdistrib = enc["zdistrib"]
                 x_recon = self.decode(variables, enc["zsample"],
                                       train=train, rngs=rngs)
             tmoments = jax.lax.stop_gradient(teacher.encode_moments(x))
             tz = DiagonalGaussianDistribution(tmoments)
-            tzs = tz.sample(key)
+            tzs = tz.sample(key, eps=eps)
             teacher_rec = jax.lax.stop_gradient(teacher.decode(tzs))
             latent_loss = self._latent_matching(zdistrib, tz)
             output_loss = reduce(self._recon(self._pre(x_recon),
