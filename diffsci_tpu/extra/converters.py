@@ -519,7 +519,8 @@ def _ldm_attn_leaf(scope: str, rest: str, w: np.ndarray,
 
 
 def import_reference_autoencoderkl(state_dict: dict,
-                                   dst_template: Any) -> Any:
+                                   dst_template: Any,
+                                   root: str = "") -> Any:
     """Import a reference AutoencoderKL state dict
     (autoencoderldm2d.py:552-631; the 3D port uses the same names) into
     our AutoencoderKL variables (models/nets/vae.py:338+)."""

@@ -5,7 +5,14 @@ TPU-native redesign of the reference anomaly detectors
 
 - AnoDDPM: noise the input to grid step k, reconstruct by partial backward
   propagation; the per-sample reconstruction error map is the anomaly
-  signal (anomalydetectors.py:34-76).
+  signal (anomalydetectors.py:34-76). Upstream, the integrator argument
+  is DEAD: Scheduler.integrator is a read-only @property
+  (schedulers.py:352-357) and torch Module.__setattr__ shelves the
+  assignment at anomalydetectors.py:40 into _modules where the property
+  shadows it, so the reference always reconstructs with deterministic
+  Heun. Here the argument is honored (Euler-Maruyama by default, the
+  paper's intent); cross-framework parity is pinned at the reference's
+  effective Heun behavior (tests/test_reference_parity8.py).
 - DDAD: guided reconstruction whose rhs adds a correction term
   w * (y_t - x) to the score, pulling the trajectory toward the noised
   input (anomalydetectors.py:78-203). The reference indexes its guidance
@@ -44,14 +51,18 @@ class AnoDDPM(AnomalyDetector):
             integrators_lib.EulerMaruyamaIntegrator()
 
     def reconstruct(self, key, x_initial, score_fn: ScoreFn, step: int,
-                    nsteps: int = 100, record_history: bool = False):
+                    nsteps: int = 100, record_history: bool = False,
+                    apply_eps=None, noise_seq=None):
+        """``apply_eps`` / ``noise_seq`` replay fixed draws for the
+        initial noising and the per-step injections (cross-framework
+        parity hooks)."""
         knoise, kprop = jax.random.split(key)
         x_noised = self.scheduler.apply_noise(knoise, x_initial, nsteps,
-                                              step)
+                                              step, eps=apply_eps)
         return self.scheduler.propagate_partial(
             kprop, x_noised, score_fn, nsteps, initial_step=step,
             final_step=nsteps, record_history=record_history,
-            integrator=self.integrator)
+            integrator=self.integrator, noise_seq=noise_seq)
 
     def reconstruction_error(self, key, x_initial, score_fn: ScoreFn,
                              step: int, nsteps: int = 100,

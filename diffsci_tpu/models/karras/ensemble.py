@@ -233,8 +233,16 @@ class EnsembleKarrasModel(KarrasModel):
 
     def autoregressive_loss_fn(self, variables, key, x, y=None, mask=None,
                                train: bool = True, n_ensemble: int = 1,
-                               nsteps: int | None = None):
-        """Returns (total_loss, updates, per_step_losses)."""
+                               nsteps: int | None = None,
+                               sigma_seq=None, eps_seq=None,
+                               sampler_fn=None):
+        """Returns (total_loss, updates, per_step_losses).
+
+        ``sigma_seq`` ([steps, B]) / ``eps_seq`` (len-steps sequence)
+        replay fixed draws per horizon step; ``sampler_fn(target, y)``
+        overrides the in-training diffusion sampler that generates the
+        next condition (cross-framework parity hooks + a cheap-rollout
+        knob)."""
         steps = int(self.config.autoregressive_loss_steps
                     if nsteps is None else nsteps)
         if steps < 1:
@@ -255,16 +263,23 @@ class EnsembleKarrasModel(KarrasModel):
         updates = {}
         for step, target in enumerate(targets):
             key, ksig, kloss, ksamp = jax.random.split(key, 4)
-            sigma = self.config.noisesampler.sample(ksig, (target.shape[0],))
+            sigma = (self.config.noisesampler.sample(ksig,
+                                                     (target.shape[0],))
+                     if sigma_seq is None else jnp.asarray(sigma_seq[step]))
             loss, upd = self.loss_fn(variables, kloss, target, sigma,
                                      current_y, masks[step], train=train,
-                                     n_ensemble=n_ensemble)
+                                     n_ensemble=n_ensemble,
+                                     eps=None if eps_seq is None
+                                     else eps_seq[step])
             updates = upd or updates
             step_losses.append(loss)
             total = total + weights[step] * loss
             if step < steps - 1:
-                pred = self._sample_next_autoregressive_condition(
-                    variables, ksamp, target, current_y)
+                if sampler_fn is not None:
+                    pred = sampler_fn(target, current_y)
+                else:
+                    pred = self._sample_next_autoregressive_condition(
+                        variables, ksamp, target, current_y)
                 current_y = self._append_autoregressive_prediction(
                     current_y, pred)
         return total, updates, step_losses

@@ -295,7 +295,7 @@ class Scheduler:
                           initial_step: int = 0, final_step: int = 100,
                           record_history: bool = False,
                           stochastic: bool = False,
-                          integrator=None):
+                          integrator=None, noise_seq=None):
         """Backward propagation over grid steps [initial_step, final_step)
         (schedulers.py:178-217)."""
         integrator = self._resolve_integrator(integrator, stochastic)
@@ -306,7 +306,7 @@ class Scheduler:
         return self._run_steps(key, x, integrator, rhs,
                                t[initial_step:final_step],
                                dt[initial_step:final_step], nsteps,
-                               record_history)
+                               record_history, noise_seq=noise_seq)
 
     def inpaint(self, key, x, y_noised, mask, score_fn: ScoreFn,
                 nsteps: int = 100, record_history: bool = False,
@@ -393,15 +393,18 @@ class Scheduler:
             noise = jax.random.normal(key, x.shape, x.dtype)
         return (scale_noise / scale) * x + std * noise
 
-    def apply_noise(self, key, x, nsteps: int = 100, step: int = 0):
-        """Noise clean data to grid time t[step] (schedulers.py:327-340)."""
+    def apply_noise(self, key, x, nsteps: int = 100, step: int = 0,
+                    eps=None):
+        """Noise clean data to grid time t[step] (schedulers.py:327-340).
+        ``eps`` replays a fixed draw (cross-framework parity hook)."""
         if step > nsteps:
             raise ValueError(f"step larger than num of steps: {step}>{nsteps}")
         t_step = float(self.create_steps(nsteps + 1)[step])
         sf = self.scheduling
         sigma = sf.noise(jnp.float32(t_step))
         scale = sf.scale(jnp.float32(t_step))
-        noise = jax.random.normal(key, x.shape, x.dtype)
+        noise = (jax.random.normal(key, x.shape, x.dtype)
+                 if eps is None else jnp.asarray(eps, x.dtype))
         return scale * x + scale * sigma * noise
 
     # ------------------------------------------------------------------
