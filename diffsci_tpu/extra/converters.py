@@ -406,20 +406,20 @@ def _mha_pre_convert(scope: str, rest: str, w: np.ndarray,
         C = w.shape[1]
         dh = C // H
         for i, nm in enumerate(("q", "k", "v")):
-            pre[f"{mha_scope}/w_{nm}"] = \
+            pre[f"{scope}/w_{nm}"] = \
                 w[i * C:(i + 1) * C].reshape(H, dh, C).transpose(0, 2, 1)
     elif rest == "in_proj_bias":
         C = w.shape[0] // 3
         dh = C // H
         for i, nm in enumerate(("q", "k", "v")):
-            pre[f"{mha_scope}/bias_{nm}"] = \
+            pre[f"{scope}/bias_{nm}"] = \
                 w[i * C:(i + 1) * C].reshape(H, 1, dh)
     elif rest == "out_proj.weight":
         C = w.shape[0]
         dh = C // H
-        pre[f"{mha_scope}/w_o"] = w.reshape(C, H, dh).transpose(1, 0, 2)
+        pre[f"{scope}/w_o"] = w.reshape(C, H, dh).transpose(1, 0, 2)
     elif rest == "out_proj.bias":
-        pre[f"{mha_scope}/bias_o"] = w
+        pre[f"{scope}/bias_o"] = w
     else:
         raise KeyError(f"unmapped attention leaf: {rest}")
     return pre

@@ -40,7 +40,7 @@ from diffsci_tpu.models.nets.classifiers import (
     MinimalResNet,
     ClassifierResBlock,
 )
-from diffsci_tpu.models.nets.dasc import DASC, dasc_loss
+from diffsci_tpu.models.nets.dasc import DASC, DASCConfig, dasc_loss
 from diffsci_tpu.models.nets.autoencoders import (
     ChannelAdapterWrapper,
     load_autoencoder,
@@ -62,7 +62,7 @@ __all__ = [
     "ConVit", "ConVitConfig",
     "PUNetGEncoder", "PUNetGDecoder", "PUNetGDeterministic",
     "EncoderFlattener", "PUNetV", "PUNetVConfig", "ResnetSliceBlock",
-    "MinimalResNet", "ClassifierResBlock", "DASC", "dasc_loss",
+    "MinimalResNet", "ClassifierResBlock", "DASC", "DASCConfig", "dasc_loss",
     "ChannelAdapterWrapper", "load_autoencoder",
     "HFNet", "HFNetUncond", "HFNetCond",
     "embedders",

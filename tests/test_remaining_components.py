@@ -177,17 +177,25 @@ def test_minimal_resnet_classifier_and_features():
 
 
 def test_dasc():
-    from diffsci_tpu.models.nets import DASC, dasc_loss
-    model = DASC(n_samples=8, channels=(8, 16), latent_dim=16,
-                 out_shape=(16, 16, 1))
-    x = jax.random.normal(KEY, (8, 16, 16, 1))
-    variables = model.init(KEY, x)
-    recon, recon_se, z, z_se, C = model.apply(variables, x)
-    assert recon.shape == x.shape
-    assert z.shape == (8, 16)
-    np.testing.assert_allclose(jnp.diag(C), 0.0)  # zero diagonal
-    total, logs = dasc_loss(model, variables, x)
-    assert jnp.isfinite(total)
+    from diffsci_tpu.models.nets import DASC, DASCConfig, dasc_loss
+    cfg = DASCConfig(in_channels=1, frame_height=16, frame_width=16,
+                     frames_per_video=3, latent_dim=16, num_videos=4,
+                     encoder_channels=(8, 16))
+    model = DASC(cfg)
+    x = jax.random.normal(KEY, (4, 3, 16, 16, 1))
+    variables = model.init(KEY, x, all_videos_mode=True)
+    out = model.apply(variables, x, all_videos_mode=True)
+    assert out["reconstructed"].shape == x.shape
+    assert out["frame_features"].shape == (4, 3, 16)
+    assert out["video_features"].shape == (4, 16)
+    assert out["attention_weights"].shape == (4, 3)
+    np.testing.assert_allclose(jnp.diag(out["coefficient_matrix"]), 0.0)
+    total, logs = dasc_loss(cfg, out, x, stage="second")
+    assert jnp.isfinite(total) and "sparsity" in logs
+    # batch mode: no SRM outputs, still reconstructs
+    out_b = model.apply(variables, x)
+    assert "coefficient_matrix" not in out_b
+    assert out_b["reconstructed"].shape == x.shape
 
 
 # ---------------------------------------------------------------------------
