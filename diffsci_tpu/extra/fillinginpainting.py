@@ -95,7 +95,8 @@ def sample_grid_volume(flow_model, variables, key,
                        blend_mode: Literal["latest"] = "latest",
                        periodicity=(False, False, False),
                        mask_falloff: int = 0,
-                       resample_steps: int = 0):
+                       resample_steps: int = 0,
+                       noise_cube=None):
     """Tile a [1, X, Y, Z, C] volume from overlapping cubes
     (fillinginpainting.py:298-440).
 
@@ -120,8 +121,12 @@ def sample_grid_volume(flow_model, variables, key,
                 "is True")
 
     key, knoise = jax.random.split(key)
-    noise_cube = jax.random.normal(
-        knoise, (1,) + tuple(final_spatial) + (channels,))
+    if noise_cube is None:
+        noise_cube = jax.random.normal(
+            knoise, (1,) + tuple(final_spatial) + (channels,))
+    else:
+        # fixed big-noise-cube replay (cross-framework parity hook)
+        noise_cube = jnp.asarray(noise_cube)
     volume = jnp.zeros_like(noise_cube)
 
     order, corner_count = get_grid_generation_order(grid_map)
