@@ -85,3 +85,41 @@ def test_sequential_z_parity(blend):
                               overlap_size=4, nsteps=3, blend_mode=blend)
     _check(vol, _vol_nchw(d[f"{blend}_volume"]), rtol=1e-5, atol=1e-6,
            label=f"sequential {blend}")
+
+
+# ---------------------------------------------------------------------------
+# porosity-map utilities (round 3l)
+# ---------------------------------------------------------------------------
+def test_porosity_map_parity():
+    """Matern covariance/Cholesky, a sample with replayed z,
+    interpolate_array (linear + spline), the vertical porosity grid, and
+    grid centers (porosity_map.py:9-177).
+    Fixture: gen_reference_fixtures_r3l.py."""
+    from diffsci_tpu.extra.porosity_map import (MaternFieldSampler,
+                                                interpolate_array,
+                                                make_vertical_porosity_map,
+                                                get_grid_center)
+
+    d = np.load(os.path.join(FIXDIR, "porosity_map.npz"))
+    gp = MaternFieldSampler(d["X"], mean_val=0.4,
+                            params={"sigma_sq": 1.3, "nu": 1.5,
+                                    "length_scale": 0.8})
+    _check(gp._build_covariance_matrix(), d["K"], rtol=1e-10, atol=1e-12,
+           label="matern covariance")
+    _check(gp.L, d["L"], rtol=1e-8, atol=1e-10, label="matern cholesky")
+    samples = (0.4 + gp.L @ d["z"]).T
+    _check(samples, d["samples"], rtol=1e-8, atol=1e-10,
+           label="matern samples")
+
+    arr = [0.1, 0.5, 0.2, 0.9]
+    _check(interpolate_array(arr, method="linear"), d["interp_linear"],
+           rtol=1e-8, atol=1e-10, label="interpolate linear")
+    _check(interpolate_array(arr, method="spline"), d["interp_spline"],
+           rtol=1e-8, atol=1e-10, label="interpolate spline")
+    _check(make_vertical_porosity_map(arr, grid_size=(3, 2),
+                                      method="linear", as_condition=False),
+           d["vmap_grid"], rtol=1e-6, atol=1e-8, label="vertical map")
+    gc = get_grid_center((4.0, 6.0), (2, 3))
+    for i, g in enumerate(gc):
+        _check(g, d[f"grid_center_{i}"], rtol=1e-10, atol=1e-12,
+               label=f"grid center {i}")
