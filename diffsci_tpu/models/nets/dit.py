@@ -104,7 +104,15 @@ class DiTBlock(nn.Module):
 
 class DiffusionTransformer(nn.Module):
     """(difftransformer.py:200-236). model(x, t, y=None, train=False) with
-    x channels-last [B, H, W, C]."""
+    x channels-last [B, H, W, C].
+
+    Structured as ``embed`` -> block stack -> ``head`` so the block stack
+    can be run under pipeline parallelism (parallel/pipeline.py): the two
+    ends are exposed as flax methods over the same parameter tree, and the
+    blocks all share one structure, so their parameters stack into a
+    [nblocks, ...] pytree shardable over a 'stage' mesh axis. Submodule
+    names are pinned to the pre-refactor auto-names, so existing
+    checkpoints restore unchanged."""
     nembed: int = 64
     nheads: int = 4
     mlp_factor: int = 4
@@ -113,32 +121,56 @@ class DiffusionTransformer(nn.Module):
     nchannels: int = 1
     attn_backend: str = "xla"
 
-    @nn.compact
-    def __call__(self, x, t=None, y=None, train: bool = False):
+    def setup(self):
+        self.time_proj = layers.GaussianFourierProjection(
+            self.nembed, name="GaussianFourierProjection_0")
+        # residual time MLP (difftransformer.py:31-67)
+        self.time_mlp_in = nn.Dense(4 * self.nembed, name="Dense_0")
+        self.time_mlp_mid = nn.Dense(4 * self.nembed, name="Dense_1")
+        self.time_mlp_out = nn.Dense(self.nembed, name="Dense_2")
+        self.token_embed = nn.Dense(self.nembed, name="Dense_3")
+        self.blocks = [
+            DiTBlock(self.nembed, self.nheads, self.mlp_factor,
+                     attn_backend=self.attn_backend, name=f"block_{i}")
+            for i in range(self.nblocks)]
+        self.token_head = nn.Dense(self.nchannels * self.patch_size ** 2,
+                                   name="Dense_4")
+
+    def embed(self, x, t=None, y=None):
+        """Everything before the block stack: time embedding + patchify +
+        token embedding + positional encoding. Returns (tokens, te)."""
         B, H, W, C = x.shape
+        if C != self.nchannels:
+            raise ValueError(
+                f"input has {C} channels but nchannels={self.nchannels}")
         if t is None:
             t = jnp.zeros((B,), x.dtype)
-        te = layers.GaussianFourierProjection(self.nembed)(t)
-        # residual time MLP (difftransformer.py:31-67)
-        h = nn.Dense(4 * self.nembed)(te)
-        h = nn.silu(h)
-        h = nn.Dense(4 * self.nembed)(h)
-        h = nn.silu(h)
-        te = te + nn.Dense(self.nembed)(h)
+        te = self.time_proj(t)
+        h = nn.silu(self.time_mlp_in(te))
+        h = nn.silu(self.time_mlp_mid(h))
+        te = te + self.time_mlp_out(h)
         if y is not None:
             te = te + (y["y"] if isinstance(y, dict) else y)
 
         tokens = patchify(x, self.patch_size)
-        tokens = nn.Dense(self.nembed)(tokens)
+        tokens = self.token_embed(tokens)
         pos = positional_encoding_2d(H // self.patch_size,
                                      W // self.patch_size, self.nembed)
         tokens = tokens + jnp.asarray(pos, tokens.dtype)[None]
-        for i in range(self.nblocks):
-            tokens = DiTBlock(self.nembed, self.nheads, self.mlp_factor,
-                              attn_backend=self.attn_backend,
-                              name=f"block_{i}")(tokens, te)
-        tokens = nn.Dense(C * self.patch_size ** 2)(tokens)
-        return unpatchify(tokens, self.patch_size, H, W, C)
+        return tokens, te
+
+    def head(self, tokens, H: int, W: int):
+        """Everything after the block stack: output projection +
+        unpatchify back to [B, H, W, nchannels]."""
+        tokens = self.token_head(tokens)
+        return unpatchify(tokens, self.patch_size, H, W, self.nchannels)
+
+    def __call__(self, x, t=None, y=None, train: bool = False):
+        B, H, W, C = x.shape
+        tokens, te = self.embed(x, t, y)
+        for block in self.blocks:
+            tokens = block(tokens, te)
+        return self.head(tokens, H, W)
 
     def export_description(self) -> dict[str, Any]:
         return dict(nembed=self.nembed, nheads=self.nheads,

@@ -24,9 +24,20 @@ from diffsci_tpu.parallel.fsdp import (
     shard_state_fsdp,
 )
 
+from diffsci_tpu.parallel.pipeline import (
+    STAGE_AXIS,
+    stack_block_params,
+    unstack_block_params,
+    shard_stacked_params,
+    pipeline_apply,
+    make_dit_pipeline,
+)
+
 __all__ = [
     "make_mesh", "initialize_distributed", "shard_batch", "replicate", "batch_sharding", "replicated",
     "pad_to_multiple", "DATA_AXIS", "SPATIAL_AXIS", "TENSOR_AXIS",
     "tensor_parallel_specs", "shard_params_tensor_parallel",
     "shard_state_tensor_parallel", "fsdp_specs", "shard_state_fsdp",
+    "STAGE_AXIS", "stack_block_params", "unstack_block_params",
+    "shard_stacked_params", "pipeline_apply", "make_dit_pipeline",
 ]
