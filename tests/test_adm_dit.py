@@ -178,6 +178,7 @@ def test_adm_dit_flash_backend_parity():
     assert dit_f.export_description()["attn_backend"] == "flash"
 
 
+@pytest.mark.slow
 def test_adm_space_to_depth():
     """Same TPU lever as PUNetG: fold spatial tiles into channels at the
     input, unfold at the output — shapes round-trip in 2D and 3D."""

@@ -101,6 +101,7 @@ def test_avg_pool_count_include_pad_false():
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_synthetic_weight_resize_features_fid_end_to_end():
     """Full pipeline on synthetic (randomly initialized) weights: images
     -> grayscale->RGB broadcast -> 299x299 bilinear resize -> pool3

@@ -274,6 +274,7 @@ def test_punetg_config_roundtrip(tmp_path):
     assert config2 == config
 
 
+@pytest.mark.slow
 def test_punetg_space_to_depth():
     """space_to_depth folds spatial tiles into channels at the input and
     unfolds at the output (TPU lane-utilization lever for C<128 volumes);

@@ -70,6 +70,7 @@ def test_pipeline_forward_matches_sequential(mesh_cfg, n_micro):
                                rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_pipeline_backward_matches_sequential():
     """Grads through the scan+ppermute schedule == grads of the plain
     forward, for both the stacked block params and the embed/head rest."""
@@ -101,6 +102,7 @@ def test_pipeline_backward_matches_sequential():
         (g_rest, g_stacked), (g_ref_rest, g_ref_stacked))
 
 
+@pytest.mark.slow
 def test_pipeline_train_step_updates():
     """One SGD step on (rest, stacked) under jit with sharded placements:
     the loss goes down across steps."""

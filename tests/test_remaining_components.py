@@ -389,6 +389,7 @@ def test_fid_zero_for_identical_and_positive_for_shifted():
     assert abs(stats["mean"]) < 0.1 and abs(stats["std"] - 1.0) < 0.1
 
 
+@pytest.mark.slow
 def test_fld_orders_models_and_detects_memorization():
     """FLD ~0 for true-distribution samples, large for shifted samples,
     and — the property FID lacks — WORSE for verbatim train copies than
