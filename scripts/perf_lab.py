@@ -1,0 +1,116 @@
+"""Perf lab: ablation timings for the CIFAR-scale train step.
+
+The CIFAR config (PUNetG 128ch [2,2], 32x32, batch 128) measures 66% MXU
++ 83% HBM simultaneously (docs/design.md) — near the pareto frontier but
+with ~1.2-1.3x theoretical headroom. This script decomposes the step and
+times the candidate levers so optimization is driven by measurements,
+not guesses:
+
+  fwd        loss only (no backward)
+  grad       loss + backward, no optimizer/EMA
+  full       the real train step (baseline)
+  full-noema baseline without the EMA update
+  full-mubf16  Adam first moment in bf16 (halved m traffic)
+  full-b256  batch 256 (amortize param/optimizer traffic)
+  full-remat remat=True (expected slower; memory knob)
+
+Run ON THE TPU (no platform pin). Prints one JSON line per config.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def time_fn(fn, sync, steps=30, warmup=4, repeats=3):
+    for _ in range(warmup):
+        out = fn()
+    sync(out)
+    rates = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = fn()
+        sync(out)
+        rates.append((time.perf_counter() - t0) / steps)
+    return float(np.median(rates))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from diffsci_tpu.models import (KarrasModel, KarrasModelConfig, PUNetG,
+                                    PUNetGConfig, create_train_state,
+                                    make_train_step, EMATracker)
+    from diffsci_tpu.models.karras.train import default_optimizer
+
+    cfg = PUNetGConfig(model_channels=128, channel_expansion=[2, 2])
+    net = PUNetG(cfg)
+    model = KarrasModel(net, KarrasModelConfig.from_edm(),
+                        compute_dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    results = {}
+
+    def train_rate(batch, tx=None, ema=True, remat=False):
+        tracker = (EMATracker(ema_type="power", power_function_stds=[0.05])
+                   if ema else None)
+        state, tx_built = create_train_state(
+            model, key, (batch, 32, 32, 1), optimizer=tx, ema=tracker)
+        step = make_train_step(model, tx_built, ema=tracker, remat=remat)
+        x = jax.random.normal(key, (batch, 32, 32, 1))
+        holder = {"state": state}
+        k = [key]
+
+        def one():
+            k[0], sub = jax.random.split(k[0])
+            holder["state"], metrics = step(holder["state"], sub, x)
+            return metrics
+
+        sec = time_fn(one, lambda m: float(m["train_loss"]))
+        return batch / sec
+
+    # decomposition: fwd-only and grad-only on batch 128 (same loss the
+    # train step computes: sigma sampled inside)
+    tracker = EMATracker(ema_type="power", power_function_stds=[0.05])
+    state, tx = create_train_state(model, key, (128, 32, 32, 1), ema=tracker)
+    x = jax.random.normal(key, (128, 32, 32, 1))
+
+    def loss_of(variables, k):
+        ksig, kloss = jax.random.split(k)
+        sigma = model.config.noisesampler.sample(ksig, (x.shape[0],))
+        loss, _ = model.loss_fn(variables, kloss, x, sigma, train=True)
+        return loss
+
+    fwd = jax.jit(loss_of)
+    grad = jax.jit(jax.value_and_grad(loss_of))
+
+    vs = state.variables()
+    kk = [key]
+
+    def run_fwd():
+        kk[0], sub = jax.random.split(kk[0])
+        return fwd(vs, sub)
+
+    def run_grad():
+        kk[0], sub = jax.random.split(kk[0])
+        return grad(vs, sub)
+
+    results["fwd_ms"] = time_fn(run_fwd, lambda o: float(o)) * 1e3
+    results["grad_ms"] = time_fn(run_grad, lambda o: float(o[0])) * 1e3
+
+    results["full_ips"] = train_rate(128)
+    results["full_noema_ips"] = train_rate(128, ema=False)
+    results["full_mubf16_ips"] = train_rate(
+        128, tx=default_optimizer(mu_dtype=jnp.bfloat16))
+    results["full_b256_ips"] = train_rate(256)
+    results["full_b64_ips"] = train_rate(64)
+    results["full_remat_ips"] = train_rate(128, remat=True)
+
+    results = {k: round(v, 2) for k, v in results.items()}
+    results["device"] = str(jax.devices()[0])
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
