@@ -14,6 +14,7 @@ from diffsci_tpu.models.karras import (
     EMATracker, TrainState,
     create_train_state, make_train_step, make_eval_step,
     default_optimizer, schedule_free_optimizer, schedule_free_eval_params,
+    warmup_cosine_schedule, cosine_restarts_schedule, accumulate_gradients,
 )
 from diffsci_tpu.models.nets import (
     PUNetG, PUNetGCond, PUNetGConfig, MLPUncond, MLPCond,
@@ -25,6 +26,8 @@ __all__ = [
     "EMATracker", "TrainState",
     "create_train_state", "make_train_step", "make_eval_step",
     "default_optimizer", "schedule_free_optimizer",
+    "warmup_cosine_schedule", "cosine_restarts_schedule",
+    "accumulate_gradients",
     "schedule_free_eval_params",
     "PUNetG", "PUNetGCond", "PUNetGConfig", "MLPUncond", "MLPCond",
 ]

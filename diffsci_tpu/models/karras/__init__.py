@@ -34,6 +34,9 @@ from diffsci_tpu.models.karras.train import (
     make_train_step,
     make_eval_step,
     default_optimizer,
+    warmup_cosine_schedule,
+    cosine_restarts_schedule,
+    accumulate_gradients,
     schedule_free_optimizer,
     schedule_free_eval_params,
     nan_to_zero_grads,
@@ -55,6 +58,8 @@ __all__ = [
     "power_function_exp_from_std",
     "TrainState", "create_train_state", "make_train_step", "make_eval_step",
     "default_optimizer", "schedule_free_optimizer",
+    "warmup_cosine_schedule", "cosine_restarts_schedule",
+    "accumulate_gradients",
     "schedule_free_eval_params", "nan_to_zero_grads", "renormalize_mp_weights",
     "freeze_mask", "freeze_optimizer", "split_variables",
 ]

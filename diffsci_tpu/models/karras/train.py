@@ -210,6 +210,43 @@ def make_eval_step(model, ema: EMATracker | None = None,
     return jax.jit(eval_step)
 
 
+def warmup_cosine_schedule(peak_lr: float, warmup_steps: int,
+                           decay_steps: int, end_factor: float = 0.0):
+    """Linear warmup -> cosine decay optax schedule. Pass the result as
+    ``default_optimizer(learning_rate=...)`` — optax threads the schedule
+    through AdamW, the TPU-native equivalent of the reference's pluggable
+    torch ``lr_scheduler`` slot (karrasmodule.py:480-508)."""
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=peak_lr, warmup_steps=warmup_steps,
+        decay_steps=decay_steps, end_value=end_factor * peak_lr)
+
+
+def cosine_restarts_schedule(peak_lr: float, period: int,
+                             n_restarts: int = 10,
+                             end_factor: float = 0.0):
+    """Cosine annealing with warm restarts (SGDR) — the reference's
+    documented default scheduler family, CosineAnnealingWarmRestarts with
+    T_0=period (karrasmodule.py:488). Equal periods (T_mult=1); after the
+    last restart the schedule holds the end value."""
+    return optax.sgdr_schedule([
+        dict(init_value=peak_lr, peak_value=peak_lr, warmup_steps=0,
+             decay_steps=period, end_value=end_factor * peak_lr)
+        for _ in range(n_restarts)])
+
+
+def accumulate_gradients(tx, every: int):
+    """Gradient accumulation: wrap any optimizer so parameters update once
+    per ``every`` micro-batches with the averaged gradient (optax
+    MultiSteps). The TPU-native answer to the reference's memory-driven
+    batch splitting (karrasmodule.py:817-835, utils.py:5) for TRAINING:
+    keep the per-step micro-batch at whatever fits, recover the large
+    effective batch through accumulation — the jitted train step is
+    unchanged (the wrapper is itself a GradientTransformation)."""
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
+    return optax.MultiSteps(tx, every_k_schedule=every)
+
+
 def schedule_free_optimizer(learning_rate: float = 1e-3,
                             b1: float = 0.9,
                             weight_decay: float = 1e-4,

@@ -314,3 +314,63 @@ def test_cadence_saves_are_bounded(tmp_path):
     assert len(steps) <= 2, steps           # bounded, not six
     assert steps[-1] == 6                   # latest survives (crash safety)
     mgr.close()
+
+
+def test_lr_schedules():
+    """Warmup-cosine and SGDR restarts (the reference's pluggable
+    lr_scheduler slot / documented CosineAnnealingWarmRestarts default,
+    karrasmodule.py:480-508) thread through default_optimizer."""
+    from diffsci_tpu.models import (warmup_cosine_schedule,
+                                    cosine_restarts_schedule,
+                                    default_optimizer)
+    s = warmup_cosine_schedule(1e-3, warmup_steps=10, decay_steps=100)
+    assert float(s(0)) == 0.0
+    assert abs(float(s(10)) - 1e-3) < 1e-9
+    assert float(s(100)) < 1e-8
+    r = cosine_restarts_schedule(1e-3, period=10, n_restarts=3)
+    assert abs(float(r(0)) - 1e-3) < 1e-9
+    assert abs(float(r(10)) - 1e-3) < 1e-9      # warm restart
+    assert float(r(5)) < float(r(0))            # anneals inside a period
+    # schedule plugs into the optimizer and changes the step size over time
+    tx = default_optimizer(learning_rate=s)
+    params = {"w": jnp.ones((4,))}
+    opt_state = tx.init(params)
+    g = {"w": jnp.ones((4,))}
+    upd0, opt_state = tx.update(g, opt_state, params)
+    upd5, _ = tx.update(g, opt_state, params)
+    assert float(jnp.abs(upd5["w"]).sum()) > float(
+        jnp.abs(upd0["w"]).sum())  # lr grew during warmup
+
+
+def test_gradient_accumulation_matches_large_step():
+    """accumulate_gradients(tx, k): k identical micro-batches produce
+    exactly one update equal to the unwrapped optimizer's single step;
+    params are frozen until the accumulation window closes."""
+    from diffsci_tpu.models import (KarrasModel, KarrasModelConfig,
+                                    MLPUncond, create_train_state,
+                                    make_train_step, default_optimizer,
+                                    accumulate_gradients)
+    model = KarrasModel(MLPUncond(dim=8, hidden_dims=(16, 16)),
+                        KarrasModelConfig.from_edm())
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 8))
+
+    tx_plain = default_optimizer(grad_clip=None)
+    state_p, _ = create_train_state(model, key, (4, 8),
+                                    optimizer=tx_plain)
+    step_p = make_train_step(model, tx_plain)
+
+    tx_acc = accumulate_gradients(default_optimizer(grad_clip=None), 2)
+    state_a, _ = create_train_state(model, key, (4, 8), optimizer=tx_acc)
+    step_a = make_train_step(model, tx_acc)
+
+    fixed = jax.random.PRNGKey(2)
+    p0 = jax.tree.leaves(state_a.params)[0].copy()
+    state_a, _ = step_a(state_a, fixed, x)           # micro-step 1: frozen
+    assert jnp.array_equal(jax.tree.leaves(state_a.params)[0], p0)
+    state_a, _ = step_a(state_a, fixed, x)           # micro-step 2: update
+    state_p, _ = step_p(state_p, fixed, x)           # one plain step
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_p.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
