@@ -26,6 +26,12 @@ microbatch *content* is sharded over 'data', the *schedule* over
 Conditioning (the DiT adaLN time embedding) rides along replicated: each
 stage indexes the te microbatch matching the activation it currently
 holds.
+
+``pipeline_apply`` itself is model-agnostic: any uniform,
+shape-preserving block stack applies (ConVitBlock qualifies — pass
+``block_apply=lambda p, x, emb: ConVitBlock(cfg).apply({'params': p}, x,
+emb)`` with the stacked ``block_{i}`` params). ``make_dit_pipeline`` is
+the packaged DiT instance.
 """
 
 from __future__ import annotations

@@ -132,3 +132,28 @@ def test_pipeline_train_step_updates():
     l0, rest_params, stacked = step(rest_params, stacked)
     l1, rest_params, stacked = step(rest_params, stacked)
     assert float(l1) < float(l0)
+
+
+def test_pipeline_edge_cases_and_errors():
+    """n_micro=1 (degenerate schedule) still matches; indivisible block
+    or batch counts raise."""
+    mesh = make_mesh(8, axes=("stage",), shape=(8,))
+    model, variables, x, t = _build(nblocks=8, B=4)
+    forward, _ = make_dit_pipeline(model, mesh, n_micro=1)
+    rest, stacked, _ = split_dit_variables(variables, 8)
+    ref = model.apply(variables, x, t)
+    out = jax.jit(forward)(rest, stacked, x, t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+    # 6 blocks over 8 stages: indivisible
+    model6, variables6, x6, t6 = _build(nblocks=6, B=4)
+    fwd6, _ = make_dit_pipeline(model6, mesh, n_micro=2)
+    rest6, stacked6, _ = split_dit_variables(variables6, 6)
+    with pytest.raises(ValueError, match="not divisible"):
+        fwd6(rest6, stacked6, x6, t6)
+
+    # batch 4 into 3 microbatches: indivisible
+    fwd3, _ = make_dit_pipeline(model, mesh, n_micro=3)
+    with pytest.raises(ValueError, match="not divisible"):
+        fwd3(rest, stacked, x, t)
