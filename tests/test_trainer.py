@@ -374,3 +374,44 @@ def test_gradient_accumulation_matches_large_step():
                     jax.tree.leaves(state_p.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_sharded_fsdp_checkpoint_roundtrip(tmp_path):
+    """Multi-chip checkpoint/resume: an FSDP-sharded TrainState (params +
+    Adam moments + EMA over the data axis) saves with orbax and restores
+    SHARDED onto the same mesh (the template's shardings are preserved via
+    to_shape_dtype_struct), then resumes training."""
+    from diffsci_tpu.parallel import make_mesh, shard_state_fsdp
+    from diffsci_tpu.parallel.mesh import batch_sharding
+
+    model = KarrasModel(MLPUncond(dim=8, hidden_dims=(64, 64)),
+                        KarrasModelConfig.from_edm())
+    key = jax.random.PRNGKey(0)
+    tracker = EMATracker(ema_type="power", power_function_stds=[0.05])
+    mesh = make_mesh(8)
+    state, tx = create_train_state(model, key, (8, 8), ema=tracker)
+    step = make_train_step(model, tx, ema=tracker)
+    state = shard_state_fsdp(state, mesh, min_elements=64)
+    x = jax.device_put(jax.random.normal(jax.random.PRNGKey(1), (8, 8)),
+                       batch_sharding(mesh, ndim=2))
+    state, _ = step(state, jax.random.PRNGKey(2), x)
+
+    save_checkpoint(tmp_path / "ck", state)
+
+    # fresh template, sharded the same way (what a resuming job builds)
+    template, _ = create_train_state(model, key, (8, 8), ema=tracker)
+    template = shard_state_fsdp(template, mesh, min_elements=64)
+    restored = restore_checkpoint(tmp_path / "ck", template)
+
+    # values AND shardings round-trip
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert b.sharding.is_equivalent_to(a.sharding, a.ndim), (
+            a.sharding, b.sharding)
+    assert int(restored.step) == 1
+
+    # resumes: one more sharded step runs and advances
+    restored, metrics = step(restored, jax.random.PRNGKey(3), x)
+    assert int(restored.step) == 2
+    assert np.isfinite(float(metrics["train_loss"]))
