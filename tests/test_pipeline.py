@@ -157,3 +157,42 @@ def test_pipeline_edge_cases_and_errors():
     fwd3, _ = make_dit_pipeline(model, mesh, n_micro=3)
     with pytest.raises(ValueError, match="not divisible"):
         fwd3(rest, stacked, x, t)
+
+
+def test_pipeline_parallel_sampling():
+    """Diffusion sampling with the denoiser running under pipeline
+    parallelism: the EDM backward propagation composes with the
+    shard_map pipeline (scan-of-scans), matching single-device sampling.
+    (<=4 steps: longer untrained rollouts amplify float reassociation —
+    docs/design.md Honest benchmarking.)"""
+    from diffsci_tpu.ops.schedulers import EDMScheduler
+
+    mesh = make_mesh(8, axes=("data", "stage"), shape=(2, 4))
+    model, variables, x, t = _build(nblocks=4, B=8)
+    forward, _ = make_dit_pipeline(model, mesh, n_micro=2,
+                                   data_axis="data")
+    rest, stacked, _ = split_dit_variables(variables, 4)
+    stacked = shard_stacked_params(stacked, mesh)
+
+    def score_from(denoise):
+        def score(xt, sigma):
+            sig = jnp.asarray(sigma) * jnp.ones((xt.shape[0],))
+            sig_b = sig.reshape((-1,) + (1,) * (xt.ndim - 1))
+            d = denoise(xt, sig)
+            return (d - xt) / (sig_b ** 2)
+        return score
+
+    sched = EDMScheduler()
+    key = jax.random.PRNGKey(7)
+    x0 = jax.random.normal(jax.random.PRNGKey(8), (8, 16, 16, 1)) \
+        * sched.maximum_scale
+
+    out_seq = sched.propagate_backward(
+        key, x0, score_from(lambda xt, tt: model.apply(variables, xt, tt)),
+        nsteps=4)
+    out_pp = jax.jit(lambda x0: sched.propagate_backward(
+        key, x0,
+        score_from(lambda xt, tt: forward(rest, stacked, xt, tt)),
+        nsteps=4))(x0)
+    np.testing.assert_allclose(np.asarray(out_pp), np.asarray(out_seq),
+                               rtol=2e-3, atol=2e-4)
