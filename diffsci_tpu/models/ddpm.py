@@ -369,9 +369,18 @@ class DDPMModel:
         return jnp.mean(self._loss(eps_pred, noise))
 
     def sample(self, variables, key, nsamples: int, shape, y=None,
-               nsteps: int | None = None, record_history: bool = False):
+               nsteps: int | None = None, record_history: bool = False,
+               mesh=None):
         knoise, kprop = jax.random.split(key)
         x = jax.random.normal(knoise, (nsamples,) + tuple(shape))
+        if mesh is not None:
+            # data-parallel sampling (same contract as
+            # KarrasModel.sample(mesh=...))
+            from diffsci_tpu.parallel.mesh import constrain_batch
+            if nsamples % mesh.shape["data"]:
+                raise ValueError(f"nsamples={nsamples} not divisible by "
+                                 f"data axis size {mesh.shape['data']}")
+            x = constrain_batch(x, mesh)
 
         def noise_predictor(xx, tt):
             return self.noise_predictor(variables, xx, tt, y)

@@ -447,12 +447,21 @@ class SIModel:
                integrate_on_sigma: bool = False,
                noise_injection: bool = False,
                return_latents: bool = False,
-               orig_noise=None):
+               orig_noise=None, mesh=None):
         knoise, kenc, kint = jax.random.split(key, 3)
         if orig_noise is None:
             x = jax.random.normal(knoise, (nsamples,) + tuple(shape))
         else:
             x = orig_noise
+        if mesh is not None:
+            # data-parallel sampling: batch sharded over the mesh 'data'
+            # axis, the whole integration scan shards under GSPMD (same
+            # contract as KarrasModel.sample(mesh=...))
+            from diffsci_tpu.parallel.mesh import constrain_batch
+            if nsamples % mesh.shape["data"]:
+                raise ValueError(f"nsamples={nsamples} not divisible by "
+                                 f"data axis size {mesh.shape['data']}")
+            x = constrain_batch(x, mesh)
         if not is_latent_shape and self.autoencoder is not None:
             x, _ = self.encode(x, y, key=kenc)
             x = jax.random.normal(kenc, x.shape, x.dtype)

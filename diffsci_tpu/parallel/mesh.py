@@ -89,6 +89,14 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def constrain_batch(x, mesh: Mesh, axis: str = DATA_AXIS):
+    """Place/constrain ``x``'s leading (batch) dim onto the mesh ``axis``.
+    Works both eagerly (device_put placement) and under jit (sharding
+    constraint) — used by the samplers' data-parallel mode."""
+    spec = P(axis, *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
 def pad_to_multiple(x, multiple: int, axis: int = 0):
     """Pad the batch so it divides the mesh axis; returns (padded, n_real)."""
     n = x.shape[axis]

@@ -317,3 +317,35 @@ def test_dp_sampling_matches_single_device():
 
     with pytest.raises(ValueError):
         model2.sample(variables, key, 9, (3,), nsteps=4, mesh=mesh)
+
+
+def test_dp_sampling_si_and_ddpm():
+    """SIModel.sample(mesh=...) and DDPMModel.sample(mesh=...) mirror the
+    KarrasModel contract: same key => same samples as single-device."""
+    from diffsci_tpu.models.si import SIModel, SIModelConfig
+    from diffsci_tpu.models.ddpm import (DDPMModel, DDPMModelConfig,
+                                         ClassicalDDPMScheduler,
+                                         DDIMIntegrator)
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(3)
+    net = MLPUncond(3, hidden_dims=(16,))
+
+    si = SIModel(net, SIModelConfig(scheduler="linear", loss_metric="mse"))
+    vs = si.init(jax.random.PRNGKey(0), (8, 3))
+    single = si.sample(vs, key, 16, (3,), nsteps=6)
+    sharded = si.sample(vs, key, 16, (3,), nsteps=6, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError):
+        si.sample(vs, key, 9, (3,), nsteps=2, mesh=mesh)
+
+    sch = ClassicalDDPMScheduler(T=50)
+    dd = DDPMModel(MLPUncond(3, hidden_dims=(16,)),
+                   DDPMModelConfig(sch, DDIMIntegrator(sch)))
+    vs = dd.init(jax.random.PRNGKey(1), (8, 3))
+    single = dd.sample(vs, key, 16, (3,))
+    sharded = dd.sample(vs, key, 16, (3,), mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError):
+        dd.sample(vs, key, 9, (3,), mesh=mesh)
