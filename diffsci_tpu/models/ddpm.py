@@ -375,11 +375,9 @@ class DDPMModel:
         x = jax.random.normal(knoise, (nsamples,) + tuple(shape))
         if mesh is not None:
             # data-parallel sampling (same contract as
-            # KarrasModel.sample(mesh=...))
+            # KarrasModel.sample(mesh=...); constrain_batch raises on
+            # indivisible batches)
             from diffsci_tpu.parallel.mesh import constrain_batch
-            if nsamples % mesh.shape["data"]:
-                raise ValueError(f"nsamples={nsamples} not divisible by "
-                                 f"data axis size {mesh.shape['data']}")
             x = constrain_batch(x, mesh)
 
         def noise_predictor(xx, tt):

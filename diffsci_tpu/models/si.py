@@ -458,13 +458,15 @@ class SIModel:
             # axis, the whole integration scan shards under GSPMD (same
             # contract as KarrasModel.sample(mesh=...))
             from diffsci_tpu.parallel.mesh import constrain_batch
-            if nsamples % mesh.shape["data"]:
-                raise ValueError(f"nsamples={nsamples} not divisible by "
-                                 f"data axis size {mesh.shape['data']}")
             x = constrain_batch(x, mesh)
         if not is_latent_shape and self.autoencoder is not None:
             x, _ = self.encode(x, y, key=kenc)
             x = jax.random.normal(kenc, x.shape, x.dtype)
+            if mesh is not None:
+                # the latent re-draw replaces the constrained array — the
+                # sharding must be re-applied or the scan runs unsharded
+                from diffsci_tpu.parallel.mesh import constrain_batch
+                x = constrain_batch(x, mesh)
         yb = dict_expand_dims(y, 0) if (
             y is not None and not _batched(y, nsamples)) else y
         sigma_init = self.config.scheduler.sigma_fn(jnp.float32(1.0))

@@ -92,7 +92,12 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 def constrain_batch(x, mesh: Mesh, axis: str = DATA_AXIS):
     """Place/constrain ``x``'s leading (batch) dim onto the mesh ``axis``.
     Works both eagerly (device_put placement) and under jit (sharding
-    constraint) — used by the samplers' data-parallel mode."""
+    constraint) — used by the samplers' data-parallel mode. Raises if the
+    batch does not divide the axis (the samplers' shared contract)."""
+    n = mesh.shape[axis]
+    if x.shape[0] % n:
+        raise ValueError(f"batch {x.shape[0]} not divisible by mesh "
+                         f"'{axis}' axis size {n}")
     spec = P(axis, *([None] * (x.ndim - 1)))
     return jax.device_put(x, NamedSharding(mesh, spec))
 

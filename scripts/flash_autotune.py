@@ -78,9 +78,9 @@ def main():
             results[tag][f"bq{bq}_bk{bk}"] = {
                 "fwd_ms": round(f_ms, 3), "fwdbwd_ms": round(f_ms + b_ms, 3)}
         # the current default pick for this T
-        best = min((v["fwdbwd_ms"], k) for k, v in results[tag].items()
-                   if isinstance(v, dict))
-        results[tag]["best"] = best[1]
+        ok = [(v["fwdbwd_ms"], k) for k, v in results[tag].items()
+              if isinstance(v, dict)]
+        results[tag]["best"] = min(ok)[1] if ok else None
     results["device"] = str(jax.devices()[0])
     print(json.dumps(results, indent=1))
 

@@ -349,3 +349,34 @@ def test_dp_sampling_si_and_ddpm():
                                rtol=1e-5, atol=1e-6)
     with pytest.raises(ValueError):
         dd.sample(vs, key, 9, (3,), mesh=mesh)
+
+
+def test_dp_sampling_si_latent_path_stays_sharded():
+    """Regression (review finding): with an autoencoder, SIModel.sample's
+    latent re-draw must re-apply the mesh sharding, or the integration
+    scan silently runs unsharded."""
+    from diffsci_tpu.models.si import SIModel, SIModelConfig
+    from jax.sharding import PartitionSpec as P
+
+    class StubAE:
+        def encode(self, x, key=None):
+            return x[:, :2]
+        def decode(self, z):
+            return jnp.concatenate([z, z[:, :1]], axis=1)
+
+    mesh = make_mesh()
+    net = MLPUncond(2, hidden_dims=(8,))
+    si = SIModel(net, SIModelConfig(scheduler="linear", loss_metric="mse"),
+                 autoencoder=StubAE())
+    vs = si.init(jax.random.PRNGKey(0), (8, 2))
+    # return_latents exposes the integrated latent; its sharding must be
+    # on the data axis (the scan inherits the input sharding)
+    out = si.sample(vs, jax.random.PRNGKey(1), 16, (3,), nsteps=2,
+                    mesh=mesh, return_latents=True)
+    assert out.sharding.spec[0] == "data", out.sharding
+    # and the decoded path matches single-device
+    full = si.sample(vs, jax.random.PRNGKey(1), 16, (3,), nsteps=2,
+                     mesh=mesh)
+    single = si.sample(vs, jax.random.PRNGKey(1), 16, (3,), nsteps=2)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(single),
+                               rtol=1e-5, atol=1e-6)
