@@ -196,3 +196,30 @@ def test_pipeline_parallel_sampling():
         nsteps=4))(x0)
     np.testing.assert_allclose(np.asarray(out_pp), np.asarray(out_seq),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_pipeline_apply_generic_blocks():
+    """pipeline_apply is model-agnostic: a plain parameterized residual
+    block (no flax module machinery) pipelines identically."""
+    from diffsci_tpu.parallel.pipeline import pipeline_apply
+
+    mesh = make_mesh(8, axes=("stage",), shape=(8,))
+    D = 16
+    key = jax.random.PRNGKey(0)
+    ws = jax.random.normal(key, (8, D, D)) * 0.1        # 8 blocks
+    bs = jax.random.normal(jax.random.PRNGKey(1), (8, D)) * 0.1
+    stacked = {"w": ws, "b": bs}
+    x = jax.random.normal(jax.random.PRNGKey(2), (12, 5, D))
+    te = jax.random.normal(jax.random.PRNGKey(3), (12, D))
+
+    def block_apply(p, tok, emb):
+        return tok + jnp.tanh(tok @ p["w"] + p["b"] + emb[:, None])
+
+    ref = x
+    for i in range(8):
+        ref = block_apply({"w": ws[i], "b": bs[i]}, ref, te)
+
+    out = jax.jit(lambda s, x, te: pipeline_apply(
+        block_apply, s, x, te, mesh, n_micro=4))(stacked, x, te)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
