@@ -8,6 +8,7 @@ from diffsci_tpu.parallel.mesh import (
     batch_sharding,
     replicated,
     pad_to_multiple,
+    constrain_batch,
     DATA_AXIS,
     SPATIAL_AXIS,
     TENSOR_AXIS,
@@ -35,7 +36,7 @@ from diffsci_tpu.parallel.pipeline import (
 
 __all__ = [
     "make_mesh", "initialize_distributed", "shard_batch", "replicate", "batch_sharding", "replicated",
-    "pad_to_multiple", "DATA_AXIS", "SPATIAL_AXIS", "TENSOR_AXIS",
+    "pad_to_multiple", "constrain_batch", "DATA_AXIS", "SPATIAL_AXIS", "TENSOR_AXIS",
     "tensor_parallel_specs", "shard_params_tensor_parallel",
     "shard_state_tensor_parallel", "fsdp_specs", "shard_state_fsdp",
     "STAGE_AXIS", "stack_block_params", "unstack_block_params",
