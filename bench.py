@@ -277,4 +277,20 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import os
+    import sys
+    try:
+        main()
+    except RuntimeError as e:
+        # Transient accelerator-attach failures (the axon tunnel can be
+        # unavailable for minutes at a time). JAX caches backend-init
+        # failure per process, so retry in a FRESH process — bounded.
+        retries = int(os.environ.get("BENCH_BACKEND_RETRIES", "0"))
+        if "Unable to initialize backend" in str(e) and retries < 5:
+            sys.stderr.write(
+                f"bench: backend unavailable (retry {retries + 1}/5 in "
+                f"120s): {e}\n")
+            time.sleep(120)
+            os.environ["BENCH_BACKEND_RETRIES"] = str(retries + 1)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise
