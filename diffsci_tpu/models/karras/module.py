@@ -404,6 +404,38 @@ class KarrasModel:
         sigma_ = bcast_right(sigma, x)
         return (denoiser - x) / (sigma_ ** 2)
 
+    def sample_parallel(self, variables, key, nsamples: int, shape,
+                        y=None, guidance: float = 1.0, nsteps: int = 100,
+                        window: int = 16, tol: float = 1e-3,
+                        return_sweeps: bool = False):
+        """Parallel-in-time deterministic sampling (sliding-window Picard,
+        ParaDiGMS — ops/parallel_sampling.py): each sweep is ONE denoiser
+        call of batch window*nsamples instead of a serial step, and the
+        frontier advances several steps per sweep where the ODE is smooth
+        — measured 3-5x fewer serial calls at nsteps>=64 (tests). Use
+        when latency matters and throughput is spare (small nsamples on a
+        big chip). ``tol=0`` reproduces sequential Euler exactly. Latent
+        models: sample in pixel space is unsupported here — use
+        ``sample`` (beyond parity; the reference has no parallel-in-time
+        sampler)."""
+        if self.latent_model:
+            raise NotImplementedError(
+                "sample_parallel operates in the diffusion space; "
+                "latent models need sample()")
+        from diffsci_tpu.ops.parallel_sampling import picard_window_sample
+        # same key-splitting convention as sample(): the same key draws
+        # the same initial noise on both paths
+        knoise, _, _ = jax.random.split(key, 3)
+        x = jax.random.normal(knoise, (nsamples,) + tuple(shape))
+        x = x * self.config.noisescheduler.maximum_scale
+
+        def score_fn(xt, sigma):
+            return self.get_score(variables, xt, sigma, y, guidance)
+
+        return picard_window_sample(
+            self.config.noisescheduler, x, score_fn, nsteps=nsteps,
+            window=window, tol=tol, return_sweeps=return_sweeps)
+
     # ------------------------------------------------------------------
     # loss (karrasmodule.py:569-650)
     # ------------------------------------------------------------------

@@ -39,6 +39,9 @@ from diffsci_tpu.ops.schedulers import (
     VPScheduler,
     VEScheduler,
 )
+from diffsci_tpu.ops.parallel_sampling import (
+    picard_propagate_backward,
+)
 from diffsci_tpu.ops.preprocessors import (
     EdgeDetectionPreprocessor,
     make_loss_preprocessor,
@@ -55,6 +58,7 @@ __all__ = [
     "Integrator", "EulerIntegrator", "HeunIntegrator",
     "EulerMaruyamaIntegrator", "KarrasIntegrator", "DPMSolverPlusPlus2M", "name_to_integrator",
     "Scheduler", "EDMScheduler", "VPScheduler", "VEScheduler",
+    "picard_propagate_backward",
     "EdgeDetectionPreprocessor", "make_loss_preprocessor",
     "smoothstep_window",
 ]
