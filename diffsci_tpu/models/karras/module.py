@@ -407,6 +407,7 @@ class KarrasModel:
     def sample_parallel(self, variables, key, nsamples: int, shape,
                         y=None, guidance: float = 1.0, nsteps: int = 100,
                         window: int = 16, tol: float = 1e-3,
+                        stochastic: bool = False,
                         return_sweeps: bool = False):
         """Parallel-in-time deterministic sampling (sliding-window Picard,
         ParaDiGMS — ops/parallel_sampling.py): each sweep is ONE denoiser
@@ -425,7 +426,7 @@ class KarrasModel:
         from diffsci_tpu.ops.parallel_sampling import picard_window_sample
         # same key-splitting convention as sample(): the same key draws
         # the same initial noise on both paths
-        knoise, _, _ = jax.random.split(key, 3)
+        knoise, _, kprop = jax.random.split(key, 3)
         x = jax.random.normal(knoise, (nsamples,) + tuple(shape))
         x = x * self.config.noisescheduler.maximum_scale
 
@@ -434,7 +435,8 @@ class KarrasModel:
 
         return picard_window_sample(
             self.config.noisescheduler, x, score_fn, nsteps=nsteps,
-            window=window, tol=tol, return_sweeps=return_sweeps)
+            window=window, tol=tol, stochastic=stochastic, key=kprop,
+            return_sweeps=return_sweeps)
 
     # ------------------------------------------------------------------
     # loss (karrasmodule.py:569-650)

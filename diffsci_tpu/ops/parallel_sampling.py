@@ -132,7 +132,9 @@ def picard_propagate_backward(scheduler, x, score_fn, nsteps: int = 18,
 
 def picard_window_sample(scheduler, x, score_fn, nsteps: int = 18,
                          window: int = 8, tol: float = 1e-3,
-                         return_sweeps: bool = False):
+                         return_sweeps: bool = False,
+                         stochastic: bool = False, key=None,
+                         noise_seq=None, gate: float = 1.0):
     """Sliding-window Picard sampling — the practical ParaDiGMS algorithm
     (arXiv:2305.16317 §3.2).
 
@@ -148,6 +150,15 @@ def picard_window_sample(scheduler, x, score_fn, nsteps: int = 18,
     sweeps network calls with sweeps <= nsteps; ``tol=0`` degenerates to
     exactly sequential Euler (nsteps sweeps).
 
+    ``stochastic=True`` parallelizes the Euler-Maruyama SDE sampler (the
+    100+-step quality tier, where parallel-in-time matters most): the
+    injected noise g(t_i)*eps_i*sqrt|dt_i| is state-independent, so it is
+    pre-drawn (from ``key`` or replayed from ``noise_seq``, the same
+    replay hook the sequential sampler takes) and enters the Picard sum
+    as a constant; the Langevin drift folds into the score coefficient.
+    tol=0 then reproduces sequential Euler-Maruyama with the same noise
+    exactly.
+
     Returns the sample (and the sweep count if ``return_sweeps``).
     """
     S = int(nsteps)
@@ -156,6 +167,17 @@ def picard_window_sample(scheduler, x, score_fn, nsteps: int = 18,
     tt = t_grid[:S]
     dt = np.diff(t_grid)[:S]
     sigma, s, scale_mult, mult = _per_step_coefficients(scheduler, tt)
+    if stochastic:
+        lf = np.asarray(scheduler.langevin_factor(tt, gate), np.float32)
+        mult = mult + lf / s          # backward SDE drift: -(mult+lf/s)*score
+        if noise_seq is None:
+            if key is None:
+                raise ValueError("stochastic=True needs key or noise_seq")
+            noise_seq = jax.random.normal(key, (S,) + x.shape, x.dtype)
+        g = np.sqrt(2.0 * lf) * np.sqrt(np.abs(dt))
+        noise_add = (jnp.asarray(noise_seq, x.dtype)
+                     * jnp.asarray(g, x.dtype).reshape(
+                         (S,) + (1,) * x.ndim))
 
     # pad coefficients so a window overhanging the end is harmless:
     # dt=0 freezes the padded points, sigma repeats the last real value
@@ -174,6 +196,9 @@ def picard_window_sample(scheduler, x, score_fn, nsteps: int = 18,
     scale_a = jnp.asarray(scale_p)
     mult_a = jnp.asarray(mult_p)
     dt_a = jnp.asarray(dt_p)
+    if stochastic:
+        noise_a = jnp.concatenate(
+            [noise_add, jnp.zeros((pad,) + x.shape, x.dtype)], axis=0)
 
     # trajectory estimates X[0..S] plus W scratch rows: XLA clamps
     # dynamic_update_slice start indices, so end-overhanging window
@@ -195,7 +220,11 @@ def picard_window_sample(scheduler, x, score_fn, nsteps: int = 18,
         F = sc_w * xs_w - mu_w * score
 
         anchor = X[p]                                        # exact
-        Y = anchor[None] + jnp.cumsum(dt_w * F, axis=0)      # cand X[p+1..p+W]
+        incr = dt_w * F
+        if stochastic:
+            incr = incr + jax.lax.dynamic_slice_in_dim(noise_a, p, W, 0)
+        Y = anchor[None] + jnp.cumsum(incr, axis=0)
+        # candidates for X[p+1..p+W]
         old = jax.lax.dynamic_slice_in_dim(X, p + 1, W, 0)
         err = jnp.max(jnp.abs(Y - old).reshape(W, -1), axis=1)  # [W]
         real = (p + 1 + jnp.arange(W)) <= S                  # in-range points
