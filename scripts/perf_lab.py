@@ -107,7 +107,37 @@ def main():
     results["full_b64_ips"] = train_rate(64)
     results["full_remat_ips"] = train_rate(128, remat=True)
 
-    results = {k: round(v, 2) for k, v in results.items()}
+    # --- parallel-in-time sampling latency (ParaDiGMS windowed Picard):
+    # small-batch latency-bound sampling is where the spare MXU
+    # throughput converts into wall-clock
+    cfg_s = PUNetGConfig(model_channels=64, channel_expansion=[2, 4])
+    model_s = KarrasModel(PUNetG(cfg_s), KarrasModelConfig.from_edm(),
+                          compute_dtype=jnp.bfloat16)
+    vs = model_s.init(jax.random.PRNGKey(0), (4, 28, 28, 1))
+    key2 = jax.random.PRNGKey(1)
+    S, W = 100, 16
+
+    seq_fn = jax.jit(lambda v, k: model_s.sample(
+        v, k, 4, (28, 28, 1), nsteps=S, integrator="euler"))
+    par_fn = jax.jit(lambda v, k: model_s.sample_parallel(
+        v, k, 4, (28, 28, 1), nsteps=S, window=W, tol=1e-3,
+        return_sweeps=True))
+
+    def run_seq():
+        return seq_fn(vs, key2)
+
+    def run_par():
+        return par_fn(vs, key2)
+
+    results["picard_seq_100step_ms"] = time_fn(
+        run_seq, lambda o: float(jnp.sum(o)), steps=3, warmup=2) * 1e3
+    out, sweeps = par_fn(vs, key2)
+    results["picard_sweeps"] = int(sweeps)
+    results["picard_par_100step_ms"] = time_fn(
+        run_par, lambda o: float(jnp.sum(o[0])), steps=3, warmup=2) * 1e3
+
+    results = {k: (round(v, 2) if isinstance(v, float) else v)
+               for k, v in results.items()}
     results["device"] = str(jax.devices()[0])
     print(json.dumps(results))
 
