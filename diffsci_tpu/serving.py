@@ -53,7 +53,7 @@ class SamplerService:
     def __init__(self, model, variables, shape: Sequence[int],
                  batch_buckets: Sequence[int] = (1, 8, 64),
                  nsteps: int = 18, seed: int = 0, sample_kwargs=None,
-                 batch_window_ms: float = 0.0, mesh=None):
+                 batch_window_ms: float = 0.0, mesh=None, picard=None):
         """``batch_window_ms`` > 0 enables cross-request batching: a
         dispatcher thread aggregates requests arriving within the window
         into ONE bucket execution instead of each small request paying a
@@ -67,7 +67,16 @@ class SamplerService:
         ``mesh``: a jax Mesh with a 'data' axis — every bucket execution
         shards its batch over the mesh (data-parallel serving across the
         slice; same key => same samples as single-device). Bucket sizes
-        must be divisible by the data axis size."""
+        must be divisible by the data axis size.
+
+        ``picard``: latency mode — a dict of
+        ``KarrasModel.sample_parallel`` knobs (e.g.
+        ``dict(window=16, tol=1e-3)``): buckets execute the
+        parallel-in-time sampler (ONE network call of batch window*b per
+        sweep) instead of nsteps serial steps. Use for small-batch
+        latency-bound serving with spare chip throughput. Incompatible
+        with ``batch_window_ms`` (the Picard noise draw is shared, so
+        co-batched requests would entangle) and with ``mesh``."""
         self.model = model
         self.variables = variables
         self.shape = tuple(shape)
@@ -80,6 +89,13 @@ class SamplerService:
                 "batch_window_ms requires a deterministic integrator: "
                 "stochastic in-scan draws would entangle co-batched "
                 "requests")
+        self.picard = dict(picard) if picard else None
+        if self.picard is not None and self.batch_window_ms > 0:
+            raise ValueError("picard mode cannot co-batch requests "
+                             "(shared noise draw); use batch_window_ms=0")
+        if self.picard is not None and mesh is not None:
+            raise ValueError("picard mode is single-device (latency "
+                             "path); drop mesh=")
         self.mesh = mesh
         if mesh is not None:
             dp = mesh.shape["data"]
@@ -173,9 +189,16 @@ class SamplerService:
                     # break SIModel/DDPMModel when serving single-device
                     kw["mesh"] = self.mesh
 
-                def fn(variables, key, b=b, kw=kw):
-                    return self.model.sample(variables, key, b, self.shape,
-                                             nsteps=self.nsteps, **kw)
+                if self.picard is not None:
+                    def fn(variables, key, b=b):
+                        return self.model.sample_parallel(
+                            variables, key, b, self.shape,
+                            nsteps=self.nsteps, **self.picard)
+                else:
+                    def fn(variables, key, b=b, kw=kw):
+                        return self.model.sample(variables, key, b,
+                                                 self.shape,
+                                                 nsteps=self.nsteps, **kw)
 
                 lowered = jax.jit(fn).lower(self.variables, self._key)
             self._compiled[b] = lowered.compile()

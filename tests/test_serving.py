@@ -239,3 +239,30 @@ def test_mesh_mode_matches_single_device():
     with pytest.raises(ValueError):
         SamplerService(model2, vs, shape=(2,), batch_buckets=(6,),
                        nsteps=3, mesh=mesh)
+
+
+def test_sampler_service_picard_mode():
+    """picard= serves via the parallel-in-time sampler: deterministic per
+    seed, tol=0 == the sequential Euler sampler, and incompatible modes
+    are rejected."""
+    import pytest
+    model = KarrasModel(MLPUncond(dim=2, hidden_dims=[8]),
+                        KarrasModelConfig.from_edm())
+    vs = model.init(jax.random.PRNGKey(0), (2, 2))
+    svc = SamplerService(model, vs, shape=(2,), batch_buckets=(4,),
+                         nsteps=6, picard=dict(window=4, tol=0.0))
+    svc.warmup()
+    a = svc.sample(4, key=jax.random.PRNGKey(3))
+    b = svc.sample(4, key=jax.random.PRNGKey(3))
+    assert a.shape == (4, 2)
+    np.testing.assert_array_equal(a, b)
+    svc_seq = SamplerService(model, vs, shape=(2,), batch_buckets=(4,),
+                             nsteps=6,
+                             sample_kwargs=dict(integrator="euler"))
+    svc_seq.warmup()
+    seq = svc_seq.sample(4, key=jax.random.PRNGKey(3))
+    np.testing.assert_allclose(a, seq, rtol=1e-3, atol=1e-4)
+
+    with pytest.raises(ValueError, match="co-batch"):
+        SamplerService(model, vs, shape=(2,), picard=dict(window=4),
+                       batch_window_ms=2.0)
