@@ -12,13 +12,19 @@ Each iteration evaluates the drift at every timestep in ONE flat network
 call of batch (nsteps * B) — ideal for the MXU, which prefers big
 batches — and the fixed point is exactly the sequential Euler
 trajectory: after k iterations the first k points are exact, so
-``iters=nsteps`` reproduces sequential sampling bit-for-near-bit, and in
-practice the iteration converges in far fewer sweeps (the trade: more
-total FLOPs, ~nsteps/iters lower latency when spare throughput exists).
+``iters=nsteps`` reproduces sequential sampling bit-for-near-bit.
+
+Measured caveat: on stiff EDM sigma-grids the FULL-trajectory iteration
+does NOT converge early (small-sigma points flail until their
+predecessors settle — 6 of 16 sweeps leaves O(100) error on the MoG
+oracle); :func:`picard_window_sample` below is the practical algorithm
+(3-5x fewer serial calls measured). This full variant is kept as the
+exactness anchor and building block.
 
 TPU framing: a single chip serving one small request is latency-bound
 with the MXU mostly idle; Picard converts that idle throughput into
-wall-clock. Deterministic (probability-flow) sampling only.
+wall-clock. Deterministic pf-ODE, plus Euler-Maruyama SDE via
+state-independent pre-drawn noise (picard_window_sample(stochastic=True)).
 """
 
 from __future__ import annotations
