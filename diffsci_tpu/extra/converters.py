@@ -673,3 +673,82 @@ def import_reference_vaenet(state_dict: dict, dst_template: Any,
         name_map[path] = path
     return import_torch_state_dict(merged, name_map, dst_template,
                                    raw_keys=pre.keys())
+
+
+# ---------------------------------------------------------------------------
+# diffusers UNet2DModel import (the HFNet backbone)
+# ---------------------------------------------------------------------------
+_UNET2D_NORMS = ("norm1", "norm2", "group_norm", "conv_norm_out")
+
+
+def diffusers_unet2d_name_map(torch_keys) -> dict[str, str]:
+    """flax-path -> torch-key map from a ``diffusers.UNet2DModel``
+    state dict into our ``ddpm_unet.UNet2D`` (models/nets/ddpm_unet.py).
+
+    Key grammar (public diffusers naming): ``conv_in``,
+    ``time_embedding.linear_{1,2}``,
+    ``{down,up}_blocks.{i}.resnets.{j}.{norm1,conv1,time_emb_proj,norm2,
+    conv2,conv_shortcut}``, ``...attentions.{j}.{group_norm,to_q,to_k,
+    to_v,to_out.0}``, ``down_blocks.{i}.downsamplers.0.conv``,
+    ``up_blocks.{i}.upsamplers.0.conv``, ``mid_block.{resnets.{0,1},
+    attentions.0}``, ``conv_norm_out``, ``conv_out``.
+    """
+    def leaf_for(module: str, suffix: str) -> str:
+        if suffix == "bias":
+            return "bias"
+        return "scale" if module in _UNET2D_NORMS else "kernel"
+
+    name_map = {}
+    for key in torch_keys:
+        parts = key.split(".")
+        suffix = parts[-1]
+        if suffix not in ("weight", "bias"):
+            raise KeyError(f"unmapped diffusers UNet2D key: {key}")
+        body = parts[:-1]
+        if body[:2] == ["time_embedding", "linear_1"]:
+            scope, module = "time_linear_1", "linear"
+        elif body[:2] == ["time_embedding", "linear_2"]:
+            scope, module = "time_linear_2", "linear"
+        elif body[0] in ("conv_in", "conv_out", "conv_norm_out"):
+            scope, module = body[0], body[0]
+        elif body[0] == "mid_block":
+            if body[1] == "resnets":
+                scope = f"mid_resnet_{int(body[2]) + 1}/{body[3]}"
+                module = body[3]
+            else:  # attentions.0
+                rest = body[3:]
+                if rest[:2] == ["to_out", "0"]:
+                    rest = ["to_out"]
+                scope = "mid_attn/" + "/".join(rest)
+                module = rest[-1]
+        elif body[0] in ("down_blocks", "up_blocks"):
+            block = f"{body[0]}_{body[1]}"
+            if body[2] in ("downsamplers", "upsamplers"):
+                scope = f"{block}/{body[2][:-2]}"  # -> {down,up}sample
+                module = "conv"
+            elif body[2] == "resnets":
+                scope = f"{block}/resnets_{body[3]}/{body[4]}"
+                module = body[4]
+            elif body[2] == "attentions":
+                rest = body[4:]
+                if rest[:2] == ["to_out", "0"]:
+                    rest = ["to_out"]
+                scope = f"{block}/attentions_{body[3]}/" + "/".join(rest)
+                module = rest[-1]
+            else:
+                raise KeyError(f"unmapped diffusers UNet2D key: {key}")
+        else:
+            raise KeyError(f"unmapped diffusers UNet2D key: {key}")
+        name_map[f"params/{scope}/{leaf_for(module, suffix)}"] = key
+    return name_map
+
+
+def import_diffusers_unet2d(state_dict: dict, dst_template: Any,
+                            scope: str = "") -> Any:
+    """Import a ``diffusers.UNet2DModel`` state dict into our UNet2D
+    variables. ``scope``: extra flax scope when nested (e.g. 'unet/' for
+    the HFNet wrappers, models/nets/hfnet.py)."""
+    name_map = diffusers_unet2d_name_map(state_dict.keys())
+    if scope:
+        name_map = scope_name_map(name_map, scope)
+    return import_torch_state_dict(state_dict, name_map, dst_template)

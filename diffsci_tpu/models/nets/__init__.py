@@ -46,6 +46,7 @@ from diffsci_tpu.models.nets.autoencoders import (
     load_autoencoder,
 )
 from diffsci_tpu.models.nets.hfnet import HFNet, HFNetUncond, HFNetCond
+from diffsci_tpu.models.nets.ddpm_unet import UNet2D
 from diffsci_tpu.models.nets import embedders
 
 __all__ = [
@@ -64,6 +65,6 @@ __all__ = [
     "EncoderFlattener", "PUNetV", "PUNetVConfig", "ResnetSliceBlock",
     "MinimalResNet", "ClassifierResBlock", "DASC", "DASCConfig", "dasc_loss",
     "ChannelAdapterWrapper", "load_autoencoder",
-    "HFNet", "HFNetUncond", "HFNetCond",
+    "HFNet", "HFNetUncond", "HFNetCond", "UNet2D",
     "embedders",
 ]

@@ -3,22 +3,13 @@
 The reference's HFNet (reference diffsci/models/nets/hfnet.py:9-100) wraps
 HuggingFace ``diffusers.UNet2DModel``: a ``block_channels`` list defines the
 down/up pyramid, conditioning enters by channel concatenation, and
-``attn_up_and_down`` toggles attention blocks in the resampling path.
-``diffusers`` is not vendored in this image, so these classes present the
-SAME constructor and call surface on top of the in-house PUNetG — a user of
-the reference's HFNet gets the same knobs and shapes with a TPU-native net
-underneath.
-
-Mapping:
-- ``block_channels=[c0, c1, ...]`` -> PUNetG ``model_channels=c0`` with
-  ``channel_expansion=[c1/c0, ...]`` (ratios must be integral, as they are
-  in every reference use),
-- conditioning: y concatenated on the channel axis (hfnet.py:100) — the
-  PUNetGCond pattern,
-- ``attn_up_and_down=True``: the nearest PUNetG analogue enables the
-  self-attention bottleneck stack (diffusers puts attention inside the
-  resampling blocks; PUNetG concentrates it at the lowest resolution where
-  the sequence is short — the MXU-friendly placement).
+``attn_up_and_down`` toggles attention blocks in the resampling path
+(hfnet.py:27-34: ``['DownBlock2D'] + ['AttnDownBlock2D'] * (n-1)`` and the
+mirror-image up list). ``diffusers`` is not vendored in this image, so these
+classes present the SAME constructor and call surface on top of
+``ddpm_unet.UNet2D`` — a native implementation of the same published
+architecture. ``extra/converters.import_diffusers_unet2d`` imports real
+``UNet2DModel`` checkpoints.
 """
 
 from __future__ import annotations
@@ -28,49 +19,39 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 import flax.linen as nn
 
-from diffsci_tpu.models.nets.punetg import PUNetG, PUNetGConfig
+from diffsci_tpu.models.nets.ddpm_unet import UNet2D
 
 
-def _config_from_block_channels(block_channels: Sequence[int],
-                                channels: int, cond_channels: int,
-                                norm_num_groups: int, dropout: float,
-                                attn_up_and_down: bool) -> PUNetGConfig:
-    c0 = block_channels[0]
-    expansion = []
-    for c in block_channels[1:]:
-        if c % c0:
-            raise ValueError(
-                f"block_channels {list(block_channels)} are not integral "
-                f"multiples of the base width {c0}")
-        expansion.append(c // c0)
-    n_attn = 2 if attn_up_and_down else 1
-    return PUNetGConfig(
-        model_channels=c0,
-        channel_expansion=expansion or [1],
-        input_channels=channels + cond_channels,
-        output_channels=channels,
-        number_resnet_downward_block=2,
-        number_resnet_upward_block=2,
-        number_resnet_attn_block=n_attn,
-        number_resnet_before_attn_block=1,
-        number_resnet_after_attn_block=1,
-        num_groups=norm_num_groups,
-        dropout=dropout)
+def _attn_flags(n: int, attn_up_and_down: bool):
+    """hfnet.py:27-34: attention in every resampling block except the
+    outermost (first down / last up)."""
+    if attn_up_and_down:
+        return (False,) + (True,) * (n - 1), (True,) * (n - 1) + (False,)
+    return (False,) * n, (False,) * n
 
 
 class HFNet(nn.Module):
-    """Unconditional-signature UNet (hfnet.py:9-57): __call__(x, t)."""
+    """Unconditional-signature UNet (hfnet.py:9-57): __call__(x, t).
+    ``cond_channels`` widens the input for channel-concat conditioning
+    (the caller concatenates, as in the reference's usage)."""
     block_channels: Sequence[int] = (64, 128, 256)
     channels: int = 1
     cond_channels: int = 0
     norm_num_groups: int = 32
     dropout: float = 0.0
     attn_up_and_down: bool = False
+    attn_backend: str = "xla"
 
     def setup(self):
-        self.unet = PUNetG(_config_from_block_channels(
-            self.block_channels, self.channels, self.cond_channels,
-            self.norm_num_groups, self.dropout, self.attn_up_and_down))
+        attn_down, attn_up = _attn_flags(len(self.block_channels),
+                                         self.attn_up_and_down)
+        self.unet = UNet2D(
+            block_out_channels=tuple(self.block_channels),
+            in_channels=self.channels + self.cond_channels,
+            out_channels=self.channels,
+            attn_down=attn_down, attn_up=attn_up,
+            norm_num_groups=self.norm_num_groups,
+            dropout=self.dropout, backend=self.attn_backend)
 
     def __call__(self, x, t, train: bool = False):
         return self.unet(x, t, train=train)
@@ -90,11 +71,18 @@ class HFNetCond(nn.Module):
     norm_num_groups: int = 32
     dropout: float = 0.0
     attn_up_and_down: bool = False
+    attn_backend: str = "xla"
 
     def setup(self):
-        self.unet = PUNetG(_config_from_block_channels(
-            self.block_channels, self.channels, self.cond_channels,
-            self.norm_num_groups, self.dropout, self.attn_up_and_down))
+        attn_down, attn_up = _attn_flags(len(self.block_channels),
+                                         self.attn_up_and_down)
+        self.unet = UNet2D(
+            block_out_channels=tuple(self.block_channels),
+            in_channels=self.channels + self.cond_channels,
+            out_channels=self.channels,
+            attn_down=attn_down, attn_up=attn_up,
+            norm_num_groups=self.norm_num_groups,
+            dropout=self.dropout, backend=self.attn_backend)
 
     def __call__(self, x, t, y: Optional[jnp.ndarray] = None,
                  train: bool = False):

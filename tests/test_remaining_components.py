@@ -492,8 +492,12 @@ def test_hfnet_family():
     assert outc.shape == x.shape
     with pytest.raises(ValueError):
         cond.init(KEY, x, t, None)
-    with pytest.raises(ValueError):
-        HFNet(block_channels=(8, 12)).init(KEY, x, t)  # non-integral ratio
+    # non-integral channel ratios are fine on the native UNet2D backbone
+    # (the old PUNetG-shim restriction is gone; diffusers' own defaults
+    # use e.g. (224, 448, 672))
+    v12 = HFNet(block_channels=(8, 12), norm_num_groups=4).init(KEY, x, t)
+    assert HFNet(block_channels=(8, 12), norm_num_groups=4).apply(
+        v12, x, t).shape == x.shape
 
 
 def test_stochasticity_sweep_artifact_shape():
