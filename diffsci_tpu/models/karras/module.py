@@ -834,11 +834,12 @@ def karras_model_from_description(description: dict,
                                   conditional_embedding=None,
                                   autoencoder=None,
                                   **model_kwargs) -> "KarrasModel":
-    """Rebuild a PUNetG-backed KarrasModel from a saved checkpoint
-    description (the declarative counterpart of the reference loader's
-    ``eval``-based reconstruction, loader.py:32). Handles both
-    description shapes in the wild: ``net = {"config": {...}, ...}``
-    (PUNetG.export_description) and a bare PUNetGConfig kwargs dict.
+    """Rebuild a KarrasModel from a saved checkpoint description (the
+    declarative counterpart of the reference loader's ``eval``-based
+    reconstruction, loader.py:32). The net is rebuilt by its ``kind``
+    tag through ``nets.describe.net_from_description`` (PUNetG, ADM,
+    DiT, ConVit, HFNet, UNet2D and MLP families); descriptions written
+    before ``kind`` existed rebuild as PUNetG, which is what they were.
 
     Raises clearly for what it cannot reconstruct from a description
     alone: a missing net entry (pre-round-2 checkpoints — re-export),
@@ -846,7 +847,7 @@ def karras_model_from_description(description: dict,
     ``conditional_embedding``), and a bound autoencoder (pass it via
     ``autoencoder`` — AE weights live outside the diffusion TrainState).
     """
-    from diffsci_tpu.models.nets.punetg import PUNetG, PUNetGConfig
+    from diffsci_tpu.models.nets.describe import net_from_description
 
     net_desc = description.get("net") or {}
     cfg_kwargs = net_desc.get("config", net_desc)
@@ -865,8 +866,8 @@ def karras_model_from_description(description: dict,
             "checkpoint is a latent-diffusion model; pass the bound "
             "autoencoder via autoencoder= (its weights are not part of "
             "the diffusion TrainState)")
-    net = PUNetG(PUNetGConfig.from_description(cfg_kwargs),
-                 conditional_embedding=conditional_embedding)
+    net = net_from_description(net_desc,
+                               conditional_embedding=conditional_embedding)
     kcfg = KarrasModelConfig.load_from_description_with_tag(
         description["config_description"])
     return KarrasModel(

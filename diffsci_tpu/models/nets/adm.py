@@ -315,7 +315,8 @@ class ADM(nn.Module):
 
     def export_description(self) -> dict[str, Any]:
         cemb = getattr(self.conditional_embedding, "export_description", None)
-        return dict(config=self.config.export_description(),
+        return dict(kind="adm",
+                    config=self.config.export_description(),
                     conditional_embedding_args=cemb() if cemb else None,
                     has_conditional_embedding=(
                         self.conditional_embedding is not None))

@@ -300,3 +300,7 @@ class UNet2D(nn.Module):
         h = nn.silu(h)
         return nn.Conv(self.out_channels, (3,) * sd, padding=1,
                        name="conv_out")(h)
+
+    def export_description(self):
+        from diffsci_tpu.models.nets.describe import plain_module_description
+        return plain_module_description(self, "unet2d")

@@ -173,7 +173,10 @@ class DiffusionTransformer(nn.Module):
         return self.head(tokens, H, W)
 
     def export_description(self) -> dict[str, Any]:
-        return dict(nembed=self.nembed, nheads=self.nheads,
-                    mlp_factor=self.mlp_factor, nblocks=self.nblocks,
-                    patch_size=self.patch_size, nchannels=self.nchannels,
-                    attn_backend=self.attn_backend)
+        return dict(kind="dit",
+                    config=dict(nembed=self.nembed, nheads=self.nheads,
+                                mlp_factor=self.mlp_factor,
+                                nblocks=self.nblocks,
+                                patch_size=self.patch_size,
+                                nchannels=self.nchannels,
+                                attn_backend=self.attn_backend))

@@ -53,8 +53,18 @@ class HFNet(nn.Module):
             norm_num_groups=self.norm_num_groups,
             dropout=self.dropout, backend=self.attn_backend)
 
-    def __call__(self, x, t, train: bool = False):
+    def __call__(self, x, t=None, y: Optional[jnp.ndarray] = None,
+                 train: bool = False):
+        # framework net convention (x, t, y, train): a provided y is
+        # channel-concatenated, matching the reference's usage where the
+        # caller concatenates before HFNet.forward (hfnet.py:45-57)
+        if y is not None:
+            x = jnp.concatenate([x, y], axis=-1)
         return self.unet(x, t, train=train)
+
+    def export_description(self):
+        from diffsci_tpu.models.nets.describe import plain_module_description
+        return plain_module_description(self, "hfnet")
 
 
 class HFNetUncond(HFNet):
@@ -89,3 +99,7 @@ class HFNetCond(nn.Module):
         if y is None:
             raise ValueError("HFNetCond requires conditioning y")
         return self.unet(jnp.concatenate([x, y], axis=-1), t, train=train)
+
+    def export_description(self):
+        from diffsci_tpu.models.nets.describe import plain_module_description
+        return plain_module_description(self, "hfnet_cond")

@@ -31,6 +31,10 @@ class MLPUncond(nn.Module):
                 h = nn.Dropout(self.dropout, deterministic=not train)(h)
         return nn.Dense(self.dim)(h)
 
+    def export_description(self):
+        from diffsci_tpu.models.nets.describe import plain_module_description
+        return plain_module_description(self, "mlp")
+
 
 class MLPCond(nn.Module):
     """Conditional MLP: concat(x, t, y) -> hidden stack -> dim."""
@@ -55,3 +59,7 @@ class MLPCond(nn.Module):
             if self.dropout > 0:
                 h = nn.Dropout(self.dropout, deterministic=not train)(h)
         return nn.Dense(self.dim)(h)
+
+    def export_description(self):
+        from diffsci_tpu.models.nets.describe import plain_module_description
+        return plain_module_description(self, "mlp_cond")

@@ -254,6 +254,7 @@ class PUNetG(nn.Module):
     def export_description(self) -> dict[str, Any]:
         cemb = getattr(self.conditional_embedding, "export_description", None)
         return dict(
+            kind="punetg",
             config=self.config.export_description(),
             conditional_embedding_args=cemb() if cemb else None,
             has_conditional_embedding=self.conditional_embedding is not None)
@@ -286,6 +287,7 @@ class PUNetGCond(nn.Module):
     def export_description(self) -> dict[str, Any]:
         cemb = getattr(self.conditional_embedding, "export_description", None)
         return dict(
+            kind="punetg_cond",
             config=self.config.export_description(),
             conditional_embedding_args=cemb() if cemb else None,
             has_conditional_embedding=self.conditional_embedding is not None,
