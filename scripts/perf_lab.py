@@ -13,6 +13,7 @@ not guesses:
   full-mubf16  Adam first moment in bf16 (halved m traffic)
   full-b256  batch 256 (amortize param/optimizer traffic)
   full-remat remat=True (expected slower; memory knob)
+  unet2d-hfnet  native DDPM-UNet backbone (HFNet (64,128,256) attn) train ips
 
 Run ON THE TPU (no platform pin). Prints one JSON line per config.
 """
@@ -106,6 +107,28 @@ def main():
     results["full_b256_ips"] = train_rate(256)
     results["full_b64_ips"] = train_rate(64)
     results["full_remat_ips"] = train_rate(128, remat=True)
+
+    # --- HFNet/UNet2D backbone (the reference's diffusers-style DDPM
+    # UNet, now native): same scale class as its CIFAR usage
+    from diffsci_tpu.models.nets import HFNetUncond
+    unet = HFNetUncond(block_channels=(64, 128, 256), channels=1,
+                       attn_up_and_down=True)
+    model_u = KarrasModel(unet, KarrasModelConfig.from_edm(),
+                          compute_dtype=jnp.bfloat16)
+    tracker_u = EMATracker(ema_type="power", power_function_stds=[0.05])
+    state_u, tx_u = create_train_state(model_u, key, (128, 32, 32, 1),
+                                       ema=tracker_u)
+    step_u = make_train_step(model_u, tx_u, ema=tracker_u)
+    holder_u = {"state": state_u}
+    ku = [key]
+
+    def run_unet():
+        ku[0], sub = jax.random.split(ku[0])
+        holder_u["state"], metrics = step_u(holder_u["state"], sub, x)
+        return metrics
+
+    results["unet2d_hfnet_train_ips"] = 128 / time_fn(
+        run_unet, lambda m: float(m["train_loss"]))
 
     # --- parallel-in-time sampling latency (ParaDiGMS windowed Picard):
     # small-batch latency-bound sampling is where the spare MXU

@@ -175,7 +175,9 @@ def test_adm_dit_flash_backend_parity():
         fa_mod.DEFAULT_MIN_TOKENS = old_mt
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
                                rtol=2e-4, atol=2e-5)
-    assert dit_f.export_description()["attn_backend"] == "flash"
+    desc = dit_f.export_description()
+    assert desc["kind"] == "dit"
+    assert desc["config"]["attn_backend"] == "flash"
 
 
 @pytest.mark.slow

@@ -97,3 +97,31 @@ def test_unet2d_flag_validation():
     net = UNet2D(block_out_channels=(8, 16), attn_down=(True,))
     with pytest.raises(ValueError):
         net.init(KEY, jnp.ones((1, 8, 8, 1)), jnp.ones((1,)))
+
+
+def test_unet2d_flash_backend_parity():
+    """One parameterization, both attention backends: a checkpoint trained
+    with 'xla' must produce identical outputs under 'flash' (interpret
+    mode; TPU numerics are asserted on-device by bench.py)."""
+    import numpy as np
+    from diffsci_tpu.kernels import flash_attention as fa_mod
+
+    kwargs = dict(block_out_channels=(8, 16), in_channels=1, out_channels=1,
+                  attn_down=(False, True), attn_up=(True, False),
+                  norm_num_groups=4)
+    net_x = UNet2D(**kwargs)
+    net_f = UNet2D(**kwargs, backend="flash")
+    x = jax.random.normal(jax.random.key(3), (2, 16, 16, 1))
+    t = jnp.asarray([1.0, 7.0])
+    v = net_x.init(KEY, x, t)
+    out_x = net_x.apply(v, x, t)
+    fa_mod.INTERPRET = True
+    old_mt = fa_mod.DEFAULT_MIN_TOKENS
+    fa_mod.DEFAULT_MIN_TOKENS = 1
+    try:
+        out_f = net_f.apply(v, x, t)
+    finally:
+        fa_mod.INTERPRET = False
+        fa_mod.DEFAULT_MIN_TOKENS = old_mt
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                               rtol=2e-4, atol=2e-5)
