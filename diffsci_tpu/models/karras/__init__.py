@@ -26,6 +26,13 @@ from diffsci_tpu.models.karras.autoregressive import (
     frames_to_window,
     window_to_frames,
 )
+from diffsci_tpu.models.karras.distill import (
+    make_distill_step,
+    distill_progressive,
+    distill_targets,
+    distill_interval_grid,
+    halving_schedule,
+)
 from diffsci_tpu.models.karras.edm_minimal import EDMModel, EDMModelConfig
 from diffsci_tpu.models.karras.encoder import KarrasEncoderModel
 from diffsci_tpu.models.karras.train import (
@@ -54,6 +61,8 @@ __all__ = [
     "l2_sp_regularization", "select_regularization_reference",
     "autoregressive_sample", "frames_to_window", "window_to_frames",
     "EDMModel", "EDMModelConfig", "KarrasEncoderModel",
+    "make_distill_step", "distill_progressive", "distill_targets",
+    "distill_interval_grid", "halving_schedule",
     "EMATracker", "EMAState", "power_function_beta",
     "power_function_exp_from_std",
     "TrainState", "create_train_state", "make_train_step", "make_eval_step",

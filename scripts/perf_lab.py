@@ -159,6 +159,16 @@ def main():
     results["picard_par_100step_ms"] = time_fn(
         run_par, lambda o: float(jnp.sum(o[0])), steps=3, warmup=2) * 1e3
 
+    # --- few-NFE serving latency (what progressive distillation buys,
+    # models/karras/distill.py: a distilled student samples through the
+    # ordinary Euler path at nsteps=2-5): batch-4 28x28 wall-clock
+    for nfe, integ in ((18, "heun"), (4, "euler"), (2, "euler")):
+        fn = jax.jit(lambda v, k, n=nfe, it=integ: model_s.sample(
+            v, k, 4, (28, 28, 1), nsteps=n, integrator=it))
+        results[f"sample_{nfe}step_{integ}_ms"] = time_fn(
+            lambda: fn(vs, key2), lambda o: float(jnp.sum(o)),
+            steps=5, warmup=2) * 1e3
+
     results = {k: (round(v, 2) if isinstance(v, float) else v)
                for k, v in results.items()}
     results["device"] = str(jax.devices()[0])
