@@ -32,6 +32,7 @@ from diffsci_tpu.models.karras.distill import (
     distill_targets,
     distill_interval_grid,
     halving_schedule,
+    sample_onestep,
 )
 from diffsci_tpu.models.karras.edm_minimal import EDMModel, EDMModelConfig
 from diffsci_tpu.models.karras.encoder import KarrasEncoderModel
@@ -62,7 +63,7 @@ __all__ = [
     "autoregressive_sample", "frames_to_window", "window_to_frames",
     "EDMModel", "EDMModelConfig", "KarrasEncoderModel",
     "make_distill_step", "distill_progressive", "distill_targets",
-    "distill_interval_grid", "halving_schedule",
+    "distill_interval_grid", "halving_schedule", "sample_onestep",
     "EMATracker", "EMAState", "power_function_beta",
     "power_function_exp_from_std",
     "TrainState", "create_train_state", "make_train_step", "make_eval_step",

@@ -42,7 +42,7 @@ distill the latent-space model itself). Minimum student ``nsteps`` is 2
 
 from __future__ import annotations
 
-from typing import Any, Callable, Iterable, Optional
+from typing import Callable, Iterable, Optional
 
 import numpy as np
 import jax
@@ -68,9 +68,8 @@ def _check_distillable(model, student_nsteps: int):
         raise NotImplementedError(
             "distill the latent-space KarrasModel directly (distillation "
             "operates in the diffusion space)")
-    if student_nsteps < 2:
-        raise ValueError("student_nsteps must be >= 2 (the rho grid "
-                         "needs >= 3 points)")
+    if student_nsteps < 1:
+        raise ValueError("student_nsteps must be >= 1")
 
 
 def distill_interval_grid(model, student_nsteps: int):
@@ -81,8 +80,22 @@ def distill_interval_grid(model, student_nsteps: int):
     (the second sub-step has dt == 0 and is the identity).
 
     Returns float32 arrays of shape [student_nsteps].
+
+    ``student_nsteps == 1`` is the terminal special case: the single
+    student interval is sigma_max -> 0 and the teacher sub-steps are the
+    2-step student's OWN grid (sigma_max -> sigma_min -> 0) — the
+    midpoint sits on the teacher's grid, so the chain stays consistent
+    even though the 2N-1 step-count relation no longer applies. The
+    1-NFE student samples via ``sample_onestep``.
     """
     sched = model.config.noisescheduler
+    if student_nsteps == 1:
+        T2 = np.asarray(sched.create_steps(3), np.float64)
+        a = np.array([T2[0]])
+        m = np.array([T2[1]])
+        b = np.array([0.0])
+        return (a.astype(np.float32), m.astype(np.float32),
+                b.astype(np.float32))
     T = np.asarray(sched.create_steps(2 * student_nsteps), np.float64)
     S = np.asarray(sched.create_steps(student_nsteps + 1), np.float64)
     if not (T[-1] == 0.0 and np.all(np.diff(T) < 0)):
@@ -195,9 +208,10 @@ def make_distill_step(model, tx, student_nsteps: int, *,
     _check_distillable(model, student_nsteps)
     tm = teacher_model if teacher_model is not None else model
     if tm is not model:
+        k = max(2 * student_nsteps, 3)
         same = np.array_equal(
-            tm.config.noisescheduler.create_steps(2 * student_nsteps),
-            model.config.noisescheduler.create_steps(2 * student_nsteps))
+            tm.config.noisescheduler.create_steps(k),
+            model.config.noisescheduler.create_steps(k))
         if not same:
             raise ValueError("teacher_model must share the student's "
                              "noise scheduler grid")
@@ -248,16 +262,32 @@ def make_distill_step(model, tx, student_nsteps: int, *,
 def halving_schedule(start_nsteps: int, final_nsteps: int = 2):
     """Student nsteps per phase: N -> (N+1)//2 -> ... >= final_nsteps.
     Each phase's teacher grid (2N-1 steps) is exactly the previous
-    student's grid, so the chain stays on-grid throughout."""
-    if final_nsteps < 2:
-        raise ValueError("final_nsteps must be >= 2")
+    student's grid, so the chain stays on-grid throughout; the terminal
+    2 -> 1 transition uses the 2-step student's grid directly (see
+    distill_interval_grid)."""
+    if final_nsteps < 1:
+        raise ValueError("final_nsteps must be >= 1")
     out, n = [], start_nsteps
     while n >= final_nsteps:
         out.append(n)
         if n == final_nsteps:
             break
-        n = max((n + 1) // 2, final_nsteps)
+        n = max((n + 1) // 2 if n > 2 else 1, final_nsteps)
     return out
+
+
+def sample_onestep(model, variables, key, nsamples: int, shape, y=None):
+    """1-NFE generation with a fully distilled student: one Euler step
+    sigma_max -> 0 is exactly ``D(sigma_max * eps, sigma_max)`` — the
+    ordinary sample() grid machinery needs >= 3 grid points, so the
+    terminal case gets its own entry. Drop-in for sample() otherwise
+    (pixel-space models)."""
+    _check_distillable(model, 1)
+    sigma_max = float(model.config.noisescheduler.maximum_scale)
+    x = sigma_max * jax.random.normal(key, (nsamples,) + tuple(shape))
+    sig = jnp.full((nsamples,), sigma_max, x.dtype)
+    den, _ = model.get_denoiser(variables, x, sig, y, guidance=1.0)
+    return den
 
 
 def distill_progressive(model, teacher_variables, data_iter: Iterable,

@@ -38,10 +38,12 @@ def small_model(dim=2, sigma_max=10.0):
 
 def test_halving_schedule():
     assert halving_schedule(17, 2) == [17, 9, 5, 3, 2]
+    assert halving_schedule(17, 1) == [17, 9, 5, 3, 2, 1]
     assert halving_schedule(5, 3) == [5, 3]
     assert halving_schedule(2, 2) == [2]
+    assert halving_schedule(1, 1) == [1]
     with pytest.raises(ValueError):
-        halving_schedule(8, 1)
+        halving_schedule(8, 0)
 
 
 def test_grid_nesting_exact():
@@ -185,17 +187,18 @@ def test_distill_progressive_statistics():
             k, kd = jax.random.split(k)
             yield dataset.sample(kd)[:128]
 
-    vars2, history = distill_progressive(
+    vars1, history = distill_progressive(
         student, teacher_vars, batches(), jax.random.key(17),
-        start_nsteps=5, final_nsteps=2, steps_per_phase=600,
+        start_nsteps=5, final_nsteps=1, steps_per_phase=600,
         learning_rate=1e-3, teacher_model=teacher,
         initial_variables=student_vars)
-    assert [h["nsteps"] for h in history] == [5, 3, 2]
+    assert [h["nsteps"] for h in history] == [5, 3, 2, 1]
     for h in history:
         assert np.all(np.isfinite(h["losses"]))
 
-    samples = student.sample(vars2, jax.random.key(19), 4096, (dim,),
-                             nsteps=2, integrator="euler")
+    from diffsci_tpu.models.karras import sample_onestep
+    samples = sample_onestep(student, vars1, jax.random.key(19), 4096,
+                             (dim,))
     got_std = float(jnp.std(samples))
     err = abs(got_std - std) / std
     assert err < 0.15, got_std
@@ -204,3 +207,42 @@ def test_distill_progressive_statistics():
                            nsteps=2, integrator="euler")
     naive_err = abs(float(jnp.std(naive)) - std) / std
     assert err < 0.5 * max(naive_err, 0.2), (got_std, naive_err)
+
+
+def test_conditional_guided_targets_and_step():
+    """CFG distillation: targets built from a guided conditional teacher
+    still satisfy the exact one-step inversion, and the distill step
+    trains a conditional student with y threaded through."""
+    from diffsci_tpu.models import MLPCond
+    dim, ydim, n = 2, 3, 4
+    config = KarrasModelConfig.from_edm()
+    config.noisescheduler.sigma_max = 10.0
+    config.noisescheduler.maximum_scale = 10.0
+    model = KarrasModel(MLPCond(dim=dim, ydim=ydim, hidden_dims=(16,)),
+                        config, conditional=True)
+    y = jax.random.normal(jax.random.key(5), (6, ydim))
+    variables = model.init(KEY, (6, dim), y)
+
+    x0 = jax.random.normal(jax.random.key(1), (6, dim))
+    eps = jax.random.normal(jax.random.key(2), (6, dim))
+    idx = jnp.concatenate([jnp.arange(n), jnp.zeros((2,), jnp.int32)])
+    x_t, sigma, D_tgt, X = distill_targets(model, variables, x0, eps,
+                                           idx, n, y=y,
+                                           teacher_guidance=2.0)
+    a, _, b = distill_interval_grid(model, n)
+    sig = sigma[:, None]
+    x_b = x_t + (b[idx][:, None] - sig) * (x_t - D_tgt) / sig
+    np.testing.assert_allclose(np.asarray(x_b), np.asarray(X),
+                               rtol=1e-5, atol=1e-6)
+
+    from diffsci_tpu.models.karras import default_optimizer
+    tx = default_optimizer(learning_rate=1e-3)
+    params, consts = split_variables(variables)
+    st = TrainState(params=params, consts=consts, opt_state=tx.init(params),
+                    ema=None, step=jnp.zeros((), jnp.int32))
+    step = make_distill_step(model, tx, n, teacher_guidance=2.0)
+    key = jax.random.key(9)
+    for _ in range(3):
+        key, ks = jax.random.split(key)
+        st, metrics = step(st, variables, ks, x0, y)
+    assert bool(jnp.isfinite(metrics["distill_loss"]))
