@@ -276,15 +276,21 @@ def halving_schedule(start_nsteps: int, final_nsteps: int = 2):
     return out
 
 
-def sample_onestep(model, variables, key, nsamples: int, shape, y=None):
+def sample_onestep(model, variables, key, nsamples: int, shape, y=None,
+                   mesh=None):
     """1-NFE generation with a fully distilled student: one Euler step
     sigma_max -> 0 is exactly ``D(sigma_max * eps, sigma_max)`` — the
     ordinary sample() grid machinery needs >= 3 grid points, so the
     terminal case gets its own entry. Drop-in for sample() otherwise
-    (pixel-space models)."""
+    (pixel-space models). ``mesh``: shard the batch over the mesh's
+    'data' axis (same convention as KarrasModel.sample)."""
     _check_distillable(model, 1)
     sigma_max = float(model.config.noisescheduler.maximum_scale)
     x = sigma_max * jax.random.normal(key, (nsamples,) + tuple(shape))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        spec = PartitionSpec("data", *([None] * (x.ndim - 1)))
+        x = jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
     sig = jnp.full((nsamples,), sigma_max, x.dtype)
     den, _ = model.get_denoiser(variables, x, sig, y, guidance=1.0)
     return den

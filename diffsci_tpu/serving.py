@@ -76,7 +76,13 @@ class SamplerService:
         sweep) instead of nsteps serial steps. Use for small-batch
         latency-bound serving with spare chip throughput. Incompatible
         with ``batch_window_ms`` (the Picard noise draw is shared, so
-        co-batched requests would entangle) and with ``mesh``."""
+        co-batched requests would entangle) and with ``mesh``.
+
+        ``nsteps=1`` with a KarrasModel serves a fully distilled 1-NFE
+        student (models/karras/distill.py) through ``sample_onestep`` —
+        one denoiser call per bucket; composes with ``mesh`` and
+        ``batch_window_ms`` (per-request keys draw independent noise
+        rows), but not ``picard`` (nothing left to parallelize)."""
         self.model = model
         self.variables = variables
         self.shape = tuple(shape)
@@ -170,18 +176,49 @@ class SamplerService:
                 return jax.lax.with_sharding_constraint(
                     x, NamedSharding(self.mesh, spec))
 
+            onestep = (self.nsteps == 1
+                       and hasattr(self.model, "get_denoiser"))
+            if onestep and self.picard is not None:
+                raise ValueError("picard mode needs nsteps >= 2; a 1-NFE "
+                                 "distilled model already IS the latency "
+                                 "path")
+
             if self.batch_window_ms > 0:
                 # per-sample-key variant: row i depends only on keys[i],
                 # so co-batched requests stay isolated
-                def fn(variables, keys, b=b):
-                    noise = shard(jax.vmap(
-                        lambda k: jax.random.normal(k, self.shape))(keys))
-                    return self.model.propagate_white_noise(
-                        variables, keys[0], noise, nsteps=self.nsteps,
-                        **self.sample_kwargs)
+                if onestep:
+                    # distilled 1-NFE student (models/karras/distill.py):
+                    # one denoiser call at sigma_max
+                    smax = float(
+                        self.model.config.noisescheduler.maximum_scale)
+
+                    def fn(variables, keys, b=b):
+                        noise = shard(jax.vmap(
+                            lambda k: jax.random.normal(k, self.shape))(
+                                keys)) * smax
+                        sig = jnp.full((b,), smax, noise.dtype)
+                        den, _ = self.model.get_denoiser(
+                            variables, noise, sig, None, guidance=1.0)
+                        return den
+                else:
+                    def fn(variables, keys, b=b):
+                        noise = shard(jax.vmap(
+                            lambda k: jax.random.normal(k, self.shape))(
+                                keys))
+                        return self.model.propagate_white_noise(
+                            variables, keys[0], noise, nsteps=self.nsteps,
+                            **self.sample_kwargs)
 
                 example = jnp.zeros((b, 2), jnp.uint32)
                 lowered = jax.jit(fn).lower(self.variables, example)
+            elif onestep:
+                from diffsci_tpu.models.karras.distill import sample_onestep
+
+                def fn(variables, key, b=b):
+                    return sample_onestep(self.model, variables, key, b,
+                                          self.shape, mesh=self.mesh)
+
+                lowered = jax.jit(fn).lower(self.variables, self._key)
             else:
                 kw = dict(self.sample_kwargs)
                 if self.mesh is not None:

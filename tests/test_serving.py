@@ -266,3 +266,40 @@ def test_sampler_service_picard_mode():
     with pytest.raises(ValueError, match="co-batch"):
         SamplerService(model, vs, shape=(2,), picard=dict(window=4),
                        batch_window_ms=2.0)
+
+
+def test_onestep_serving_plain_and_windowed():
+    """nsteps=1 (a fully distilled student) serves through sample_onestep
+    — both the plain path and the cross-request-batching path."""
+    model = KarrasModel(MLPUncond(dim=2, hidden_dims=(8,)),
+                        KarrasModelConfig.from_edm())
+    vs = model.init(jax.random.PRNGKey(0), (4, 2))
+    svc = SamplerService(model, vs, shape=(2,), batch_buckets=(4,),
+                         nsteps=1)
+    out = svc.sample(3, key=jax.random.PRNGKey(7))
+    assert out.shape == (3, 2) and np.all(np.isfinite(out))
+    # determinism with an explicit key
+    out2 = svc.sample(3, key=jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(out, out2)
+
+    svcw = SamplerService(model, vs, shape=(2,), batch_buckets=(4,),
+                          nsteps=1, batch_window_ms=5.0)
+    try:
+        outw = svcw.sample(2, key=jax.random.PRNGKey(9))
+        assert outw.shape == (2, 2) and np.all(np.isfinite(outw))
+        # key isolation: same key, different co-batch population
+        outw2 = svcw.sample(2, key=jax.random.PRNGKey(9))
+        np.testing.assert_array_equal(outw, outw2)
+    finally:
+        svcw.close()
+
+
+def test_onestep_picard_rejected():
+    import pytest
+    model = KarrasModel(MLPUncond(dim=2, hidden_dims=(8,)),
+                        KarrasModelConfig.from_edm())
+    vs = model.init(jax.random.PRNGKey(0), (4, 2))
+    svc = SamplerService(model, vs, shape=(2,), batch_buckets=(2,),
+                         nsteps=1, picard=dict(window=4, tol=0.0))
+    with pytest.raises(ValueError):
+        svc.warmup()
