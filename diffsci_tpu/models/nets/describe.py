@@ -74,6 +74,7 @@ _builder("unet2d", (f"{_NETS}.ddpm_unet", "UNet2D"),
 _builder("mlp", (f"{_NETS}.mlp", "MLPUncond"), tuples=("hidden_dims",))
 _builder("mlp_cond", (f"{_NETS}.mlp", "MLPCond"), tuples=("hidden_dims",))
 _builder("dit", (f"{_NETS}.dit", "DiffusionTransformer"))
+_builder("moe_dit", (f"{_NETS}.moe", "MoEDiffusionTransformer"))
 
 
 @register_net_kind("punetg")
