@@ -351,7 +351,11 @@ def flash_attention(q, k, v, block_q: int | None = None,
     B, H, T, d = q.shape
     sm_scale = 1.0 / math.sqrt(d)
     if block_q is None:
-        block_q = _pick_block(T, 512)
+        # v5e autotune (scripts/flash_autotune.py, bench_history.json
+        # flash_autotune_r3): bq=1024 beats bq=512 at every measured
+        # shape — fwd+bwd 7.41 vs 7.90 ms (T=4096 d64), 11.9 vs 12.3
+        # (T=8192), 39.4 vs 41.0 (T=16384). bk=2048 is a wash vs 1024.
+        block_q = _pick_block(T, 1024)
     if block_k is None:
         block_k = _pick_block(T, 1024)
 

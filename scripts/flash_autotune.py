@@ -13,9 +13,13 @@ benchmarking).
 
 import itertools
 import json
+import pathlib
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def time_call(fn, *args, steps=20, warmup=3, repeats=3):

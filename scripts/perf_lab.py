@@ -19,9 +19,13 @@ Run ON THE TPU (no platform pin). Prints one JSON line per config.
 """
 
 import json
+import pathlib
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def time_fn(fn, sync, steps=30, warmup=4, repeats=3):
