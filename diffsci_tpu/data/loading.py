@@ -21,10 +21,25 @@ class ArrayDataLoader:
 
     Each epoch reshuffles with a fresh fold of the seed. ``drop_last=True``
     by default so batch shapes are static (jit-friendly).
+
+    Multi-process (multi-host) sharding: ``batch_size`` is the GLOBAL
+    batch; each process yields only its ``batch_size / process_count``
+    rows of every global batch (the TPU-native analogue of the
+    per-rank DistributedSampler the reference gets from Lightning DDP,
+    reference tests/run_oceangen_ema_smoke.py:36-40). All processes
+    derive the same per-epoch permutation from the shared seed, so the
+    concatenation of the per-process batches in process order IS the
+    single-process global batch — combine with
+    ``parallel.shard_batch`` (which uses
+    ``jax.make_array_from_process_local_data`` under multi-process) to
+    form the global sharded array. Defaults auto-detect
+    ``jax.process_count()/process_index()``; pass explicitly to test.
     """
 
     def __init__(self, dataset: Any, batch_size: int, shuffle: bool = True,
-                 seed: int = 0, drop_last: bool = True):
+                 seed: int = 0, drop_last: bool = True,
+                 process_count: int | None = None,
+                 process_index: int | None = None):
         self.dataset = dataset
         leaves = jax.tree.leaves(dataset)
         if not leaves:
@@ -36,6 +51,24 @@ class ArrayDataLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        self.process_count = (process_count if process_count is not None
+                              else jax.process_count())
+        self.process_index = (process_index if process_index is not None
+                              else jax.process_index())
+        if not 0 <= self.process_index < self.process_count:
+            raise ValueError(
+                f"process_index {self.process_index} out of range for "
+                f"process_count {self.process_count}")
+        if batch_size % self.process_count:
+            raise ValueError(
+                f"global batch_size {batch_size} not divisible by "
+                f"process_count {self.process_count}")
+        if self.process_count > 1 and not drop_last:
+            raise ValueError(
+                "multi-process loading requires drop_last=True: a ragged "
+                "final batch would give processes different local shapes "
+                "and deadlock the collective")
+        self.local_batch_size = batch_size // self.process_count
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -52,8 +85,10 @@ class ArrayDataLoader:
         self._epoch += 1
         end = (self.n - self.n % self.batch_size if self.drop_last
                else self.n)
+        lo = self.process_index * self.local_batch_size
+        hi = lo + self.local_batch_size
         for start in range(0, end, self.batch_size):
-            idx = order[start:start + self.batch_size]
+            idx = order[start:start + self.batch_size][lo:hi]
             yield jax.tree.map(lambda a: a[idx], self.dataset)
 
 

@@ -59,6 +59,7 @@ class EMATracker:
     rampup_ratio: Optional[float] = None
     power_function_stds: Sequence[float] = (0.05,)
     profile_index: int = 0
+    update_every: int = 1
 
     def __post_init__(self):
         if self.ema_type not in ("traditional", "power"):
@@ -67,6 +68,8 @@ class EMATracker:
             raise ValueError("EMA decay must be in [0, 1)")
         if len(self.power_function_stds) == 0:
             raise ValueError("power_function_stds must not be empty")
+        if self.update_every < 1:
+            raise ValueError("update_every must be >= 1")
 
     @property
     def num_profiles(self) -> int:
@@ -106,13 +109,54 @@ class EMATracker:
 
     def update(self, state: EMAState, params) -> EMAState:
         """shadow <- beta * shadow + (1 - beta) * params, per profile
-        (ema.py:127-156). Pure; call inside the jitted train step."""
+        (ema.py:127-156). Pure; call inside the jitted train step.
+
+        With ``update_every=K > 1`` the shadow read+write happens only on
+        every K-th call, with the K per-step decays folded into one
+        effective beta — for the power profile EXACTLY, by telescoping:
+        prod_{i=t-K+1..t} ((i-1)/i)^(e+1) = ((t-K)/t)^(e+1). The only
+        approximation vs per-step EMA is that the (1-beta) contributions
+        sample params at the update call instead of each of the K steps;
+        the payoff is 1/K of the EMA HBM traffic (shadows are a full
+        param copy per profile, read+written each step when K=1)."""
         next_update = state.num_updates + 1
-        betas = self.betas(next_update)
-        new_profiles = tuple(
-            jax.tree.map(lambda s, p, b=b: b * s + (1.0 - b) * p.astype(s.dtype),
-                         profile, params)
-            for profile, b in zip(state.profiles, betas))
+        if self.update_every == 1:
+            betas = self.betas(next_update)
+            new_profiles = tuple(
+                jax.tree.map(
+                    lambda s, p, b=b: b * s + (1.0 - b) * p.astype(s.dtype),
+                    profile, params)
+                for profile, b in zip(state.profiles, betas))
+            return EMAState(profiles=new_profiles, num_updates=next_update)
+
+        K = self.update_every
+        t = next_update.astype(jnp.float32) if hasattr(
+            next_update, "astype") else jnp.float32(next_update)
+        if self.ema_type == "power":
+            betas_eff = []
+            for s in self.power_function_stds:
+                e = power_function_exp_from_std(s)
+                b = (jnp.maximum(t - K, 0.0) / jnp.maximum(t, 1.0)) \
+                    ** (e + 1.0)
+                betas_eff.append(b)
+        else:
+            # traditional: explicit product of the K per-step betas
+            # (K is static and small; these are scalar traced ops)
+            betas_eff = None
+            for j in range(K):
+                bs = self.betas(next_update - (K - 1 - j))
+                betas_eff = bs if betas_eff is None else [
+                    p * b for p, b in zip(betas_eff, bs)]
+
+        def apply(profiles):
+            return tuple(
+                jax.tree.map(
+                    lambda s, p, b=b: b * s + (1.0 - b) * p.astype(s.dtype),
+                    profile, params)
+                for profile, b in zip(profiles, betas_eff))
+
+        new_profiles = jax.lax.cond(
+            next_update % K == 0, apply, lambda pr: pr, state.profiles)
         return EMAState(profiles=new_profiles, num_updates=next_update)
 
     def get_params(self, state: EMAState, profile_index: int | None = None):
@@ -126,4 +170,5 @@ class EMATracker:
                     halflife_steps=self.halflife_steps,
                     rampup_ratio=self.rampup_ratio,
                     power_function_stds=list(self.power_function_stds),
-                    profile_index=self.profile_index)
+                    profile_index=self.profile_index,
+                    update_every=self.update_every)

@@ -77,9 +77,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
     """Place every array in ``batch`` with its leading dim sharded over the
-    mesh ``axis``; per-host input pipelines feed their local shard."""
+    mesh ``axis``; per-host input pipelines feed their local shard.
+
+    Single-process: a device_put with the NamedSharding. Multi-process
+    (``jax.process_count() > 1``): ``batch`` is this process's LOCAL rows
+    (e.g. from ``ArrayDataLoader``'s per-process slicing) and the global
+    jax.Array is assembled with
+    ``jax.make_array_from_process_local_data`` — the per-rank input path
+    the reference delegates to Lightning DDP's DistributedSampler
+    (reference scripts/training/train-edm-cifar10.py:318-327)."""
+    multiprocess = jax.process_count() > 1
+
     def place(x):
-        return jax.device_put(x, batch_sharding(mesh, axis, x.ndim))
+        sharding = batch_sharding(mesh, axis, x.ndim)
+        if multiprocess:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
     return jax.tree.map(place, batch)
 
 

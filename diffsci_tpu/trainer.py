@@ -70,7 +70,8 @@ class Trainer:
                  select_batch: Callable | None = None,
                  profile_dir: str | pathlib.Path | None = None,
                  profile_steps: tuple[int, int] | None = None,
-                 prefetch: int = 2):
+                 prefetch: int = 2,
+                 val_loaders: "dict[str, Iterable] | list | None" = None):
         self.max_epochs = max_epochs
         self.max_steps = max_steps
         self.mesh = mesh
@@ -92,6 +93,14 @@ class Trainer:
         # double-buffered host->device prefetch depth (0 disables): the
         # transfer of batch k+1 overlaps the step on batch k
         self.prefetch = prefetch
+        # multi-dataloader validation (reference
+        # karrasmodule_new.py:2010-2042: Lightning's val_dataloaders list
+        # logs one metric set per loader). dict name->loader or a list
+        # (named by index); metrics are prefixed 'val_loss/<name>' etc.
+        # Passed alongside or instead of fit()'s single val_loader.
+        if isinstance(val_loaders, (list, tuple)):
+            val_loaders = {str(i): ld for i, ld in enumerate(val_loaders)}
+        self.val_loaders = val_loaders
 
     def _place(self, tree):
         if self.mesh is None:
@@ -155,6 +164,14 @@ class Trainer:
                 if self.checkpoint_manager is not None:
                     self.checkpoint_manager.save(step, state, val_metrics)
                     self._last_saved_step = step
+            if (eval_fn is not None and self.val_loaders is not None
+                    and (epoch + 1) % self.val_every_epochs == 0):
+                val_metrics = self.validate_multi(state, eval_fn,
+                                                  self.val_loaders, key)
+                self.logger.log(step, val_metrics)
+                if self.checkpoint_manager is not None:
+                    self.checkpoint_manager.save(step, state, val_metrics)
+                    self._last_saved_step = step
             if self.max_steps is not None and step >= self.max_steps:
                 break
         if (self.checkpoint_manager is not None and self.save_last
@@ -185,6 +202,23 @@ class Trainer:
                 sums[k] += float(v)
             count += 1
         return {k: v / max(count, 1) for k, v in sums.items()}
+
+    def validate_multi(self, state, eval_fn, val_loaders, key
+                       ) -> dict[str, float]:
+        """Per-loader validation metrics, each key suffixed '/<name>'
+        (the reference's multi-val-dataloader logging,
+        karrasmodule_new.py:2010-2042: 'valid_loss/dataloader_idx_N').
+        Checkpoint best-metric selection stays configurable per loader:
+        point the CheckpointManager's best_metric at e.g.
+        'valid_loss/ocean'."""
+        if isinstance(val_loaders, (list, tuple)):
+            val_loaders = {str(i): ld for i, ld in enumerate(val_loaders)}
+        out: dict[str, float] = {}
+        for name, loader in val_loaders.items():
+            key, sub = jax.random.split(key)
+            metrics = self.validate(state, eval_fn, loader, sub)
+            out.update({f"{k}/{name}": v for k, v in metrics.items()})
+        return out
 
 
 def fit_karras(model, dataset, *, batch_size=32, max_epochs=1,

@@ -33,7 +33,8 @@ import types
 import numpy as np
 
 OUTDIR = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(
+        __file__)))),
     "tests", "fixtures", "reference")
 
 

@@ -118,3 +118,53 @@ def test_no_ema_null_path():
     state, _ = step_fn(state, jax.random.PRNGKey(2), xs[:8])
     assert state.ema is None
     assert state.ema_variables(None) == state.variables() or True
+
+
+def test_ema_update_every_power_telescopes_exactly():
+    """update_every=K with the power profile: the effective beta at each
+    K-boundary is EXACTLY the product of the K per-step betas (telescoped
+    ((t-K)/t)^(e+1)), and non-boundary calls leave the shadow untouched.
+    Verified against an explicit host-side per-step simulation that uses
+    the same sparse param samples."""
+    import numpy as np
+    from diffsci_tpu.models.karras.ema import (EMATracker,
+                                               power_function_beta)
+
+    std, K, T = 0.1, 4, 12
+    fast = EMATracker(ema_type="power", power_function_stds=[std],
+                      update_every=K)
+    params0 = {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)}
+    state = fast.init(params0)
+    update = jax.jit(fast.update)
+
+    shadow_ref = np.asarray(params0["w"])
+    for t in range(1, T + 1):
+        params_t = {"w": params0["w"] + 0.1 * t}
+        state = update(state, params_t)
+        if t % K == 0:
+            beff = float(np.prod([
+                float(power_function_beta(std, i))
+                for i in range(t - K + 1, t + 1)]))
+            shadow_ref = beff * shadow_ref + (1 - beff) * np.asarray(
+                params_t["w"])
+        np.testing.assert_allclose(np.asarray(state.profiles[0]["w"]),
+                                   shadow_ref, rtol=1e-6,
+                                   err_msg=f"step {t}")
+
+
+def test_ema_update_every_traditional_beta_product():
+    """update_every=K with traditional decay: effective beta is decay**K
+    at each boundary."""
+    import numpy as np
+    from diffsci_tpu.models.karras.ema import EMATracker
+
+    decay, K = 0.9, 3
+    fast = EMATracker(ema_type="traditional", decay=decay, update_every=K)
+    params0 = {"w": jnp.ones((4,), jnp.float32)}
+    state = fast.init(params0)
+    params_new = {"w": jnp.full((4,), 5.0, jnp.float32)}
+    for _ in range(K):
+        state = fast.update(state, params_new)
+    expected = decay ** K * 1.0 + (1 - decay ** K) * 5.0
+    np.testing.assert_allclose(np.asarray(state.profiles[0]["w"]),
+                               expected, rtol=1e-6)

@@ -415,3 +415,40 @@ def test_sharded_fsdp_checkpoint_roundtrip(tmp_path):
     restored, metrics = step(restored, jax.random.PRNGKey(3), x)
     assert int(restored.step) == 2
     assert np.isfinite(float(metrics["train_loss"]))
+
+
+def test_multi_loader_validation(tmp_path):
+    """Two named validation loaders log per-loader metrics
+    'valid_loss/<name>' (reference karrasmodule_new.py:2010-2042); the
+    checkpoint best-metric monitor can point at either key."""
+    from diffsci_tpu.models import make_eval_step
+    from diffsci_tpu.checkpoint import CheckpointManager
+
+    config = KarrasModelConfig.from_edm(loss_metric="mse")
+    model = KarrasModel(MLPUncond(dim=2, hidden_dims=[16]), config)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), (8, 2))
+    step_fn = make_train_step(model, tx)
+    eval_fn = make_eval_step(model)
+
+    xs = np.asarray(data.ZeroDataset(num_samples=64, shape=[2]).sample(
+        jax.random.PRNGKey(0)))
+    train_loader = ArrayDataLoader(xs[:32], 8, seed=0)
+    val_loaders = {"zero": ArrayDataLoader(xs[32:48], 8, shuffle=False),
+                   "shifted": ArrayDataLoader(xs[48:] + 3.0, 8,
+                                              shuffle=False)}
+    ckpt = CheckpointManager(tmp_path / "ck", max_to_keep=2,
+                             monitor="valid_loss/shifted")
+    trainer = Trainer(max_epochs=2, log_dir=tmp_path,
+                      val_loaders=val_loaders, checkpoint_manager=ckpt)
+    state = trainer.fit(state, step_fn, train_loader, eval_fn)
+
+    vz = trainer.logger.last("valid_loss/zero")
+    vs = trainer.logger.last("valid_loss/shifted")
+    assert vz is not None and vs is not None
+    # the shifted loader's distribution is off-manifold: higher loss
+    assert vs > vz
+    # validate_multi also accepts a bare list (named by index)
+    key = jax.random.PRNGKey(1)
+    out = trainer.validate_multi(state, eval_fn,
+                                 list(val_loaders.values()), key)
+    assert set(out) == {"valid_loss/0", "valid_loss/1"}
