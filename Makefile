@@ -2,7 +2,7 @@
 # its cookiecutter data/lint targets don't apply; these are the commands
 # this framework is actually driven by).
 
-.PHONY: test test-fast bench install dryrun profile clean
+.PHONY: test test-fast test-quick test-parity bench install dryrun profile clean
 
 PYTHON := python
 
@@ -17,6 +17,15 @@ test:
 ## Fast iteration: skip the slow 3D/e2e tests (~6 min vs ~17)
 test-fast:
 	$(PYTHON) -m pytest tests/ -q -m "not slow" -x
+
+## Quickest tier (<3 min): also skip the golden-fixture parity pins.
+## Add -n auto to any tier for pytest-xdist parallelism.
+test-quick:
+	$(PYTHON) -m pytest tests/ -q -m "not slow and not parity" -x
+
+## Only the cross-framework golden-fixture pins
+test-parity:
+	$(PYTHON) -m pytest tests/ -q -m parity
 
 ## Throughput benchmark (one JSON line; runs on the default platform)
 bench:

@@ -1,23 +1,32 @@
-"""Perf lab: ablation timings for the CIFAR-scale train step.
+"""Perf lab: named ablation timings for the headline train-step configs.
 
 The CIFAR config (PUNetG 128ch [2,2], 32x32, batch 128) measures 66% MXU
 + 83% HBM simultaneously (docs/design.md) — near the pareto frontier but
-with ~1.2-1.3x theoretical headroom. This script decomposes the step and
-times the candidate levers so optimization is driven by measurements,
-not guesses:
+with ~1.2-1.3x theoretical headroom; MNIST (64ch [2,4], 28x28, batch
+256) sits at 94% of the HBM roofline. This script times the candidate
+byte-cutting levers so optimization is driven by measurements:
 
-  fwd        loss only (no backward)
-  grad       loss + backward, no optimizer/EMA
-  full       the real train step (baseline)
-  full-noema baseline without the EMA update
-  full-mubf16  Adam first moment in bf16 (halved m traffic)
-  full-b256  batch 256 (amortize param/optimizer traffic)
-  full-remat remat=True (expected slower; memory knob)
-  unet2d-hfnet  native DDPM-UNet backbone (HFNet (64,128,256) attn) train ips
+  <cfg>_full       the real train step (baseline)
+  <cfg>_noema      without the EMA shadow update
+  <cfg>_ema4       EMA applied every 4th step (exact telescoped beta)
+  <cfg>_mubf16     Adam first moment in bf16 (halved m traffic)
+  <cfg>_s2d        space_to_depth=2 input folding (lane packing)
+  <cfg>_levers     mubf16 + ema4 + s2d combined
+  cifar_{fwd,grad} loss-only / loss+backward decomposition
+  cifar_b{64,256}  batch scaling
+  cifar_remat      remat=True (memory knob, expected slower)
+  unet2d           native DDPM-UNet backbone train ips
+  picard           parallel-in-time sampling latency
+  fewnfe           2/4/18-NFE sampling latency
 
-Run ON THE TPU (no platform pin). Prints one JSON line per config.
+Run ON THE TPU (no platform pin). Prints one JSON line PER ARM as it
+completes (so partial runs still yield data) and a final combined line.
+
+  python scripts/perf_lab.py --only cifar_full cifar_mubf16
+  python scripts/perf_lab.py --list
 """
 
+import argparse
 import json
 import pathlib
 import sys
@@ -26,6 +35,13 @@ import time
 import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+CONFIGS = {
+    # name -> (model_channels, channel_expansion, spatial, batch)
+    "mnist": dict(channels=64, expansion=[2, 4], spatial=(28, 28), batch=256),
+    "cifar": dict(channels=128, expansion=[2, 2], spatial=(32, 32),
+                  batch=128),
+}
 
 
 def time_fn(fn, sync, steps=30, warmup=4, repeats=3):
@@ -42,30 +58,52 @@ def time_fn(fn, sync, steps=30, warmup=4, repeats=3):
     return float(np.median(rates))
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-    from diffsci_tpu.models import (KarrasModel, KarrasModelConfig, PUNetG,
-                                    PUNetGConfig, create_train_state,
-                                    make_train_step, EMATracker)
-    from diffsci_tpu.models.karras.train import default_optimizer
+def _emit(name, value):
+    print(json.dumps({name: round(value, 3)}), flush=True)
 
-    cfg = PUNetGConfig(model_channels=128, channel_expansion=[2, 2])
-    net = PUNetG(cfg)
-    model = KarrasModel(net, KarrasModelConfig.from_edm(),
-                        compute_dtype=jnp.bfloat16)
-    key = jax.random.PRNGKey(0)
-    results = {}
 
-    def train_rate(batch, tx=None, ema=True, remat=False):
-        tracker = (EMATracker(ema_type="power", power_function_stds=[0.05])
+class Lab:
+    def __init__(self):
+        import jax
+        import jax.numpy as jnp
+        from diffsci_tpu.models import (KarrasModel, KarrasModelConfig,
+                                        PUNetG, PUNetGConfig)
+        self.jax = jax
+        self.jnp = jnp
+        self._model_cache = {}
+        self._mk = lambda c: KarrasModel(
+            PUNetG(c), KarrasModelConfig.from_edm(),
+            compute_dtype=jnp.bfloat16)
+        self.PUNetGConfig = PUNetGConfig
+        self.key = jax.random.PRNGKey(0)
+
+    def model_for(self, cfg_name, s2d=1):
+        c = CONFIGS[cfg_name]
+        k = (cfg_name, s2d)
+        if k not in self._model_cache:
+            cfg = self.PUNetGConfig(model_channels=c["channels"],
+                                    channel_expansion=list(c["expansion"]),
+                                    space_to_depth=s2d)
+            self._model_cache[k] = self._mk(cfg)
+        return self._model_cache[k], c
+
+    def train_rate(self, cfg_name, batch=None, tx=None, ema=True,
+                   remat=False, s2d=1, ema_every=1):
+        jax = self.jax
+        from diffsci_tpu.models import (create_train_state, make_train_step,
+                                        EMATracker)
+        model, c = self.model_for(cfg_name, s2d)
+        batch = batch or c["batch"]
+        shape = (batch,) + tuple(c["spatial"]) + (1,)
+        tracker = (EMATracker(ema_type="power", power_function_stds=[0.05],
+                              update_every=ema_every)
                    if ema else None)
         state, tx_built = create_train_state(
-            model, key, (batch, 32, 32, 1), optimizer=tx, ema=tracker)
+            model, self.key, shape, optimizer=tx, ema=tracker)
         step = make_train_step(model, tx_built, ema=tracker, remat=remat)
-        x = jax.random.normal(key, (batch, 32, 32, 1))
+        x = jax.random.normal(self.key, shape)
         holder = {"state": state}
-        k = [key]
+        k = [self.key]
 
         def one():
             k[0], sub = jax.random.split(k[0])
@@ -75,113 +113,210 @@ def main():
         sec = time_fn(one, lambda m: float(m["train_loss"]))
         return batch / sec
 
-    # decomposition: fwd-only and grad-only on batch 128 (same loss the
-    # train step computes: sigma sampled inside)
-    tracker = EMATracker(ema_type="power", power_function_stds=[0.05])
-    state, tx = create_train_state(model, key, (128, 32, 32, 1), ema=tracker)
-    x = jax.random.normal(key, (128, 32, 32, 1))
 
-    def loss_of(variables, k):
-        ksig, kloss = jax.random.split(k)
-        sigma = model.config.noisesampler.sample(ksig, (x.shape[0],))
-        loss, _ = model.loss_fn(variables, kloss, x, sigma, train=True)
-        return loss
+def make_arms(lab):
+    import jax
+    import jax.numpy as jnp
+    from diffsci_tpu.models import create_train_state, EMATracker
+    from diffsci_tpu.models.karras.train import default_optimizer
 
-    fwd = jax.jit(loss_of)
-    grad = jax.jit(jax.value_and_grad(loss_of))
+    arms = {}
 
-    vs = state.variables()
-    kk = [key]
+    for cfg in CONFIGS:
+        arms[f"{cfg}_full_ips"] = (
+            lambda cfg=cfg: lab.train_rate(cfg))
+        arms[f"{cfg}_noema_ips"] = (
+            lambda cfg=cfg: lab.train_rate(cfg, ema=False))
+        arms[f"{cfg}_ema4_ips"] = (
+            lambda cfg=cfg: lab.train_rate(cfg, ema_every=4))
+        arms[f"{cfg}_mubf16_ips"] = (
+            lambda cfg=cfg: lab.train_rate(
+                cfg, tx=default_optimizer(mu_dtype=jnp.bfloat16)))
+        arms[f"{cfg}_s2d_ips"] = (
+            lambda cfg=cfg: lab.train_rate(cfg, s2d=2))
+        arms[f"{cfg}_levers_ips"] = (
+            lambda cfg=cfg: lab.train_rate(
+                cfg, tx=default_optimizer(mu_dtype=jnp.bfloat16),
+                s2d=2, ema_every=4))
 
-    def run_fwd():
-        kk[0], sub = jax.random.split(kk[0])
-        return fwd(vs, sub)
+    arms["cifar_b256_ips"] = lambda: lab.train_rate("cifar", batch=256)
+    arms["cifar_b64_ips"] = lambda: lab.train_rate("cifar", batch=64)
+    arms["cifar_remat_ips"] = lambda: lab.train_rate("cifar", remat=True)
 
-    def run_grad():
-        kk[0], sub = jax.random.split(kk[0])
-        return grad(vs, sub)
+    def decomp(what):
+        from diffsci_tpu.models import create_train_state, EMATracker
+        model, c = lab.model_for("cifar")
+        shape = (c["batch"],) + tuple(c["spatial"]) + (1,)
+        tracker = EMATracker(ema_type="power", power_function_stds=[0.05])
+        state, _ = create_train_state(model, lab.key, shape, ema=tracker)
+        x = jax.random.normal(lab.key, shape)
 
-    results["fwd_ms"] = time_fn(run_fwd, lambda o: float(o)) * 1e3
-    results["grad_ms"] = time_fn(run_grad, lambda o: float(o[0])) * 1e3
+        def loss_of(variables, k):
+            ksig, kloss = jax.random.split(k)
+            sigma = model.config.noisesampler.sample(ksig, (x.shape[0],))
+            loss, _ = model.loss_fn(variables, kloss, x, sigma, train=True)
+            return loss
 
-    results["full_ips"] = train_rate(128)
-    results["full_noema_ips"] = train_rate(128, ema=False)
-    results["full_mubf16_ips"] = train_rate(
-        128, tx=default_optimizer(mu_dtype=jnp.bfloat16))
-    results["full_b256_ips"] = train_rate(256)
-    results["full_b64_ips"] = train_rate(64)
-    results["full_remat_ips"] = train_rate(128, remat=True)
+        vs = state.variables()
+        kk = [lab.key]
+        if what == "fwd":
+            fn = jax.jit(loss_of)
 
-    # --- HFNet/UNet2D backbone (the reference's diffusers-style DDPM
-    # UNet, now native): same scale class as its CIFAR usage
-    from diffsci_tpu.models.nets import HFNetUncond
-    unet = HFNetUncond(block_channels=(64, 128, 256), channels=1,
-                       attn_up_and_down=True)
-    model_u = KarrasModel(unet, KarrasModelConfig.from_edm(),
-                          compute_dtype=jnp.bfloat16)
-    tracker_u = EMATracker(ema_type="power", power_function_stds=[0.05])
-    state_u, tx_u = create_train_state(model_u, key, (128, 32, 32, 1),
-                                       ema=tracker_u)
-    step_u = make_train_step(model_u, tx_u, ema=tracker_u)
-    holder_u = {"state": state_u}
-    ku = [key]
+            def run():
+                kk[0], sub = jax.random.split(kk[0])
+                return fn(vs, sub)
+            return time_fn(run, lambda o: float(o)) * 1e3
+        fn = jax.jit(jax.value_and_grad(loss_of))
 
-    def run_unet():
-        ku[0], sub = jax.random.split(ku[0])
-        holder_u["state"], metrics = step_u(holder_u["state"], sub, x)
-        return metrics
+        def run():
+            kk[0], sub = jax.random.split(kk[0])
+            return fn(vs, sub)
+        return time_fn(run, lambda o: float(o[0])) * 1e3
 
-    results["unet2d_hfnet_train_ips"] = 128 / time_fn(
-        run_unet, lambda m: float(m["train_loss"]))
+    arms["cifar_fwd_ms"] = lambda: decomp("fwd")
+    arms["cifar_grad_ms"] = lambda: decomp("grad")
 
-    # --- parallel-in-time sampling latency (ParaDiGMS windowed Picard):
-    # small-batch latency-bound sampling is where the spare MXU
-    # throughput converts into wall-clock
-    cfg_s = PUNetGConfig(model_channels=64, channel_expansion=[2, 4])
-    model_s = KarrasModel(PUNetG(cfg_s), KarrasModelConfig.from_edm(),
-                          compute_dtype=jnp.bfloat16)
-    vs = model_s.init(jax.random.PRNGKey(0), (4, 28, 28, 1))
-    key2 = jax.random.PRNGKey(1)
-    S, W = 100, 16
+    def unet2d():
+        from diffsci_tpu.models import (KarrasModel, KarrasModelConfig,
+                                        create_train_state, make_train_step,
+                                        EMATracker)
+        from diffsci_tpu.models.nets import HFNetUncond
+        unet = HFNetUncond(block_channels=(64, 128, 256), channels=1,
+                           attn_up_and_down=True)
+        model_u = KarrasModel(unet, KarrasModelConfig.from_edm(),
+                              compute_dtype=jnp.bfloat16)
+        tracker = EMATracker(ema_type="power", power_function_stds=[0.05])
+        state, tx = create_train_state(model_u, lab.key, (128, 32, 32, 1),
+                                       ema=tracker)
+        step = make_train_step(model_u, tx, ema=tracker)
+        x = jax.random.normal(lab.key, (128, 32, 32, 1))
+        holder = {"state": state}
+        ku = [lab.key]
 
-    seq_fn = jax.jit(lambda v, k: model_s.sample(
-        v, k, 4, (28, 28, 1), nsteps=S, integrator="euler"))
-    par_fn = jax.jit(lambda v, k: model_s.sample_parallel(
-        v, k, 4, (28, 28, 1), nsteps=S, window=W, tol=1e-3,
-        return_sweeps=True))
+        def run():
+            ku[0], sub = jax.random.split(ku[0])
+            holder["state"], metrics = step(holder["state"], sub, x)
+            return metrics
+        return 128 / time_fn(run, lambda m: float(m["train_loss"]))
 
-    def run_seq():
-        return seq_fn(vs, key2)
+    arms["unet2d_hfnet_train_ips"] = unet2d
 
-    def run_par():
-        return par_fn(vs, key2)
+    def _sampler_model():
+        from diffsci_tpu.models import KarrasModel, KarrasModelConfig, PUNetG
+        cfg_s = lab.PUNetGConfig(model_channels=64, channel_expansion=[2, 4])
+        m = KarrasModel(PUNetG(cfg_s), KarrasModelConfig.from_edm(),
+                        compute_dtype=jnp.bfloat16)
+        vs = m.init(jax.random.PRNGKey(0), (4, 28, 28, 1))
+        return m, vs
 
-    results["picard_seq_100step_ms"] = time_fn(
-        run_seq, lambda o: float(jnp.sum(o)), steps=3, warmup=2) * 1e3
-    out, sweeps = par_fn(vs, key2)
-    results["picard_sweeps"] = int(sweeps)
-    results["picard_par_100step_ms"] = time_fn(
-        run_par, lambda o: float(jnp.sum(o[0])), steps=3, warmup=2) * 1e3
+    def picard():
+        m, vs = _sampler_model()
+        key2 = jax.random.PRNGKey(1)
+        S, W = 100, 16
+        seq_fn = jax.jit(lambda v, k: m.sample(
+            v, k, 4, (28, 28, 1), nsteps=S, integrator="euler"))
+        par_fn = jax.jit(lambda v, k: m.sample_parallel(
+            v, k, 4, (28, 28, 1), nsteps=S, window=W, tol=1e-3,
+            return_sweeps=True))
+        out = {}
+        out["picard_seq_100step_ms"] = time_fn(
+            lambda: seq_fn(vs, key2), lambda o: float(jnp.sum(o)),
+            steps=3, warmup=2) * 1e3
+        _, sweeps = par_fn(vs, key2)
+        out["picard_sweeps"] = int(sweeps)
+        out["picard_par_100step_ms"] = time_fn(
+            lambda: par_fn(vs, key2), lambda o: float(jnp.sum(o[0])),
+            steps=3, warmup=2) * 1e3
+        return out
 
-    # --- few-NFE serving latency (what progressive distillation buys,
-    # models/karras/distill.py: a distilled student samples through the
-    # ordinary Euler path at nsteps=2-5): batch-4 28x28 wall-clock
-    for nfe, integ in ((18, "heun"), (4, "euler"), (2, "euler")):
-        fn = jax.jit(lambda v, k, n=nfe, it=integ: model_s.sample(
-            v, k, 4, (28, 28, 1), nsteps=n, integrator=it))
-        results[f"sample_{nfe}step_{integ}_ms"] = time_fn(
-            lambda: fn(vs, key2), lambda o: float(jnp.sum(o)),
-            steps=5, warmup=2) * 1e3
+    arms["picard"] = picard
 
+    def fewnfe():
+        m, vs = _sampler_model()
+        key2 = jax.random.PRNGKey(1)
+        out = {}
+        for nfe, integ in ((18, "heun"), (4, "euler"), (2, "euler")):
+            fn = jax.jit(lambda v, k, n=nfe, it=integ: m.sample(
+                v, k, 4, (28, 28, 1), nsteps=n, integrator=it))
+            out[f"sample_{nfe}step_{integ}_ms"] = time_fn(
+                lambda: fn(vs, key2), lambda o: float(jnp.sum(o)),
+                steps=5, warmup=2) * 1e3
+        return out
+
+    arms["fewnfe"] = fewnfe
+
+    def convergence(tag, tx=None, s2d=1, ema_every=1):
+        """Train 300 steps on deterministic synthetic blobs; return the
+        mean loss over the last 30 steps. Used to gate lever adoption:
+        a lever only becomes a default if this matches the f32 baseline
+        within noise."""
+        from diffsci_tpu.models import (create_train_state, make_train_step,
+                                        EMATracker)
+        model, c = lab.model_for("mnist", s2d)
+        batch = 128
+        shape = (batch,) + tuple(c["spatial"]) + (1,)
+        rng = np.random.default_rng(0)
+        yy, xx2 = np.mgrid[0:28, 0:28].astype(np.float32)
+        cx = rng.uniform(8, 20, size=(512, 1, 1))
+        cy = rng.uniform(8, 20, size=(512, 1, 1))
+        r = rng.uniform(3, 6, size=(512, 1, 1))
+        data = ((np.exp(-(((xx2 - cx) ** 2 + (yy - cy) ** 2)
+                          / (2 * r ** 2))) * 2 - 1)[..., None]
+                .astype(np.float32))
+        tracker = EMATracker(ema_type="power", power_function_stds=[0.05],
+                             update_every=ema_every)
+        state, tx_built = create_train_state(
+            model, jax.random.PRNGKey(0), shape, optimizer=tx, ema=tracker)
+        step = make_train_step(model, tx_built, ema=tracker)
+        key = jax.random.PRNGKey(42)
+        losses = []
+        for i in range(300):
+            key, sub = jax.random.split(key)
+            xb = jnp.asarray(data[(i * batch) % 384:(i * batch) % 384
+                                  + batch])
+            state, m = step(state, sub, xb)
+            losses.append(m["train_loss"])
+        tail = float(np.mean([float(v) for v in losses[-30:]]))
+        return {f"conv_{tag}_loss300": tail}
+
+    arms["conv_f32"] = lambda: convergence("f32")
+    arms["conv_mubf16"] = lambda: convergence(
+        "mubf16", tx=default_optimizer(mu_dtype=jnp.bfloat16))
+    arms["conv_ema4"] = lambda: convergence("ema4", ema_every=4)
+    arms["conv_s2d"] = lambda: convergence("s2d", s2d=2)
+    arms["conv_levers"] = lambda: convergence(
+        "levers", tx=default_optimizer(mu_dtype=jnp.bfloat16), s2d=2,
+        ema_every=4)
+    return arms
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--list", action="store_true")
+    args = ap.parse_args()
+
+    lab = Lab()
+    arms = make_arms(lab)
+    if args.list:
+        print("\n".join(arms))
+        return
+    names = args.only or list(arms)
+    results = {}
+    for name in names:
+        v = arms[name]()
+        if isinstance(v, dict):
+            for k, vv in v.items():
+                results[k] = vv
+                _emit(k, vv)
+        else:
+            results[name] = v
+            _emit(name, v)
     results = {k: (round(v, 2) if isinstance(v, float) else v)
                for k, v in results.items()}
-    results["device"] = str(jax.devices()[0])
-    print(json.dumps(results))
+    results["device"] = str(lab.jax.devices()[0])
+    print(json.dumps(results), flush=True)
 
 
 if __name__ == "__main__":
-    import sys
-    if "--help" in sys.argv or "-h" in sys.argv:
-        print(__doc__)
-        sys.exit(0)
     main()

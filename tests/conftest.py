@@ -19,3 +19,15 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Auto-tier: every test in a test_reference_parity* file carries the
+    'parity' marker (golden-fixture pins: thorough but heavy). Quick
+    iteration: `make test-quick` == pytest -m "not slow and not parity";
+    full cross-framework evidence: pytest -m parity. Parallelize any tier
+    with -n auto (pytest-xdist is available in the image)."""
+    import pytest
+    for item in items:
+        if item.fspath and "test_reference_parity" in str(item.fspath):
+            item.add_marker(pytest.mark.parity)
