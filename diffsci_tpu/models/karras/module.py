@@ -599,11 +599,12 @@ class KarrasModel:
     def _propagate_white_noise_impl(self, variables, key, x, y, guidance,
                                     nsteps, record_history, integrator,
                                     stochastic, original_y, return_latent,
-                                    gate_scale=None):
+                                    gate_scale=None, noise_seq=None):
         x = x * self.config.noisescheduler.maximum_scale
         result = self.propagate_toward_sample(
             variables, key, x, y, guidance, nsteps, record_history,
-            integrator, stochastic, gate_scale=gate_scale)
+            integrator, stochastic, gate_scale=gate_scale,
+            noise_seq=noise_seq)
         if not return_latent:
             result = self.decode(variables, result,
                                  original_y if original_y is not None else y,
@@ -614,18 +615,25 @@ class KarrasModel:
                               guidance: float = 1.0, nsteps: int = 100,
                               record_history: bool = False, integrator=None,
                               stochastic: bool = False,
-                              return_in_latent_space: bool = False):
-        """(karrasmodule.py:867-905) — x is already white noise (unscaled)."""
+                              return_in_latent_space: bool = False,
+                              noise_seq=None):
+        """(karrasmodule.py:867-905) — x is already white noise (unscaled).
+
+        ``noise_seq`` ([nsteps, *x.shape]): replace the stochastic
+        integrators' in-scan draws with a provided sequence — used for
+        parity replays and for per-request noise isolation under
+        cross-request serving batching (serving.py)."""
         return self._propagate_white_noise_impl(
             variables, key, x, y, guidance, nsteps, record_history,
             integrator, stochastic, None,
-            return_in_latent_space or not self.latent_model)
+            return_in_latent_space or not self.latent_model,
+            noise_seq=noise_seq)
 
     def propagate_toward_sample(self, variables, key, x, y=None,
                                 guidance: float = 1.0, nsteps: int = 100,
                                 record_history: bool = False,
                                 integrator=None, stochastic: bool = False,
-                                gate_scale=None):
+                                gate_scale=None, noise_seq=None):
         """Backward propagation with the learned score
         (karrasmodule.py:907-931)."""
         y = dict_expand_dims(y, 0) if _needs_unsqueeze(y, x) else y
@@ -636,7 +644,7 @@ class KarrasModel:
         return self.config.noisescheduler.propagate_backward(
             key, x, score_fn, nsteps, record_history=record_history,
             stochastic=stochastic, integrator=integrator,
-            gate_scale=gate_scale)
+            gate_scale=gate_scale, noise_seq=noise_seq)
 
     def propagate_partial_toward_sample(self, variables, key, x,
                                         initial_step: int,

@@ -59,10 +59,10 @@ class SamplerService:
         into ONE bucket execution instead of each small request paying a
         full bucket dispatch. Per-request key isolation is preserved by
         compiling a per-sample-key sampler (each request's samples depend
-        only on its own key, not on what it was batched with); requires a
-        deterministic integrator (the default Heun path — stochastic
-        samplers draw in-scan noise from a shared key stream, which would
-        entangle co-batched requests).
+        only on its own key, not on what it was batched with). Stochastic
+        integrators co-batch too: their in-scan noise is drawn per row
+        from fold_in(row_key, step) and injected through the scheduler's
+        noise_seq hook, so no draw depends on the batch composition.
 
         ``mesh``: a jax Mesh with a 'data' axis — every bucket execution
         shards its batch over the mesh (data-parallel serving across the
@@ -90,11 +90,6 @@ class SamplerService:
         self.nsteps = nsteps
         self.sample_kwargs = dict(sample_kwargs or {})
         self.batch_window_ms = float(batch_window_ms)
-        if self.batch_window_ms > 0 and self.sample_kwargs.get("stochastic"):
-            raise ValueError(
-                "batch_window_ms requires a deterministic integrator: "
-                "stochastic in-scan draws would entangle co-batched "
-                "requests")
         self.picard = dict(picard) if picard else None
         if self.picard is not None and self.batch_window_ms > 0:
             raise ValueError("picard mode cannot co-batch requests "
@@ -201,13 +196,30 @@ class SamplerService:
                             variables, noise, sig, None, guidance=1.0)
                         return den
                 else:
-                    def fn(variables, keys, b=b):
+                    stochastic = bool(self.sample_kwargs.get("stochastic"))
+
+                    def fn(variables, keys, b=b, stochastic=stochastic):
                         noise = shard(jax.vmap(
                             lambda k: jax.random.normal(k, self.shape))(
                                 keys))
+                        noise_seq = None
+                        if stochastic:
+                            # per-request isolation for the IN-SCAN draws
+                            # too: row i's step-s noise comes from
+                            # fold_in(keys[i], s+1) only, never from the
+                            # batch composition — co-batched stochastic
+                            # requests stay independent (round-3 VERDICT
+                            # item 7). Injected through the scheduler's
+                            # noise_seq replay hook (ops/schedulers.py).
+                            noise_seq = jax.vmap(
+                                lambda s: jax.vmap(
+                                    lambda k: jax.random.normal(
+                                        jax.random.fold_in(k, s + 1),
+                                        self.shape))(keys)
+                            )(jnp.arange(self.nsteps))
                         return self.model.propagate_white_noise(
                             variables, keys[0], noise, nsteps=self.nsteps,
-                            **self.sample_kwargs)
+                            noise_seq=noise_seq, **self.sample_kwargs)
 
                 example = jnp.zeros((b, 2), jnp.uint32)
                 lowered = jax.jit(fn).lower(self.variables, example)

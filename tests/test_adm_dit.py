@@ -51,6 +51,7 @@ def test_adm_3d_shapes():
     assert out.shape == (1, 8, 8, 8, 1)
 
 
+@pytest.mark.slow
 def test_adm_conditional():
     class Emb(nn.Module):
         @nn.compact
@@ -100,6 +101,7 @@ def test_dit_shapes_and_patch_roundtrip():
     assert out.shape == (2, 16, 16, 1)
 
 
+@pytest.mark.slow
 def test_dit_positions_break_translation_symmetry():
     """With positions applied, permuting patches changes outputs
     non-uniformly (the reference forgot to add positions)."""
@@ -134,6 +136,7 @@ def test_adm_magnitude_preserving():
     assert any("w_mp" in p for p in paths)
 
 
+@pytest.mark.slow
 def test_adm_dit_flash_backend_parity():
     """attn_backend='flash' produces the same outputs (interpret-mode
     kernel on CPU) and is part of both configs' export round-trip."""

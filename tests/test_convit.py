@@ -59,6 +59,7 @@ def test_convit_3d():
     assert out.shape == (1, 4, 4, 4, 1)
 
 
+@pytest.mark.slow
 def test_convit_conditional():
     import flax.linen as nn
 

@@ -29,6 +29,7 @@ def _flat_paths(tree, prefix=()):
 
 
 @pytest.mark.parametrize("attn", [False, True])
+@pytest.mark.slow
 def test_unet2d_matches_torch_spec(attn):
     torch = pytest.importorskip("torch")
     from tests._torch_unet2d import TorchUNet2D
@@ -62,6 +63,7 @@ def test_unet2d_matches_torch_spec(attn):
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_unet2d_3d_and_jit():
     """Dimension-agnostic bonus surface: the same module runs 3D, under
     jit, with grads."""
@@ -83,6 +85,7 @@ def test_unet2d_3d_and_jit():
     assert jnp.isfinite(gnorm) and gnorm > 0
 
 
+@pytest.mark.slow
 def test_unet2d_arbitrary_block_channels():
     """Non-integral channel ratios (e.g. diffusers' own (224, 448, 672))
     are allowed — the old PUNetG-shim restriction is gone."""
@@ -99,6 +102,7 @@ def test_unet2d_flag_validation():
         net.init(KEY, jnp.ones((1, 8, 8, 1)), jnp.ones((1,)))
 
 
+@pytest.mark.slow
 def test_unet2d_flash_backend_parity():
     """One parameterization, both attention backends: a checkpoint trained
     with 'xla' must produce identical outputs under 'flash' (interpret

@@ -118,6 +118,7 @@ def test_teacher_substeps_match_propagate_partial():
                                    err_msg=f"interval {j}")
 
 
+@pytest.mark.slow
 def test_distill_step_runs_and_learns():
     """One phase of distillation on a Gaussian oracle-trained teacher:
     loss must be finite and decrease."""
@@ -209,6 +210,7 @@ def test_distill_progressive_statistics():
     assert err < 0.5 * max(naive_err, 0.2), (got_std, naive_err)
 
 
+@pytest.mark.slow
 def test_conditional_guided_targets_and_step():
     """CFG distillation: targets built from a guided conditional teacher
     still satisfy the exact one-step inversion, and the distill step

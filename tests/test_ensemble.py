@@ -65,6 +65,7 @@ def test_ensemble_loss_vectorized_runs():
     assert jnp.isfinite(loss)
 
 
+@pytest.mark.slow
 def test_crps_loss_with_ensemble():
     config = make_config(loss_metric="crps")
     model = EnsembleKarrasModel(MLPUncond(dim=3, hidden_dims=[8]), config)
@@ -154,6 +155,7 @@ def test_ar_split_formats():
         m._split_autoregressive_targets(jnp.zeros((2, 8, 8, 5)), 3)
 
 
+@pytest.mark.slow
 def test_ar_end_to_end_real_sampling():
     """Small but real: AR loss with actual diffusion sampling inside."""
     config = make_config(loss_metric="mse")

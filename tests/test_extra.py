@@ -82,6 +82,7 @@ class LocalDecoder(nn.Module):
         return nn.Conv(1, (3, 3), padding="SAME")(h)
 
 
+@pytest.mark.slow
 def test_tiled_decode_exact_periodic():
     dec = LocalDecoder()
     z = jax.random.normal(KEY, (1, 16, 16, 2))

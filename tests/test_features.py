@@ -1,5 +1,6 @@
 """Feature tests: AnoDDPM / DDAD anomaly detection, RePaint wrapper."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -38,6 +39,7 @@ def test_anoddpm_record_history():
     assert hist.shape == (11, 2, 4)
 
 
+@pytest.mark.slow
 def test_ddad_guidance_selects_input_mode():
     """On a bimodal dataset, the DDAD correction w (y - x) biases fully
     re-noised reconstructions toward the mode of the guidance input (the

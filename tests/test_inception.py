@@ -65,6 +65,7 @@ def test_converter_matches_torch_conv_bn_relu():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_stage_channel_widths():
     """Channel widths after each named stage match torchvision's
     InceptionV3 (the structural fingerprint the weight import relies on)."""

@@ -131,6 +131,7 @@ def test_guidance_requires_conditional_flag():
     np.testing.assert_allclose(d1, d2)
 
 
+@pytest.mark.slow
 def test_model_inpaint_shapes():
     dataset = data.ZeroDataset(num_samples=8, shape=[4])
     model, variables = make_oracle_module(dataset)

@@ -51,6 +51,7 @@ def test_flash_attention_ragged_tokens_and_unaligned_head_dim():
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_flash_attention_grad_matches_xla():
     """backend='flash' must train: custom-VJP grads vs XLA autodiff."""
     B, H, T, d = 1, 2, 256, 64
@@ -75,6 +76,7 @@ def test_flash_attention_grad_matches_xla():
                                    err_msg=f"d{nm}")
 
 
+@pytest.mark.slow
 def test_flash_attention_grad_ragged():
     """Grads with T-padding: padded keys/queries must contribute nothing."""
     B, H, T, d = 1, 1, 300, 128

@@ -4,6 +4,7 @@ dispatch are pinned against a per-token dense computation, and the
 expert-parallel sharding is pinned semantics-preserving on the 8-device
 virtual CPU mesh."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -24,6 +25,7 @@ def _silu(x):
     return x / (1.0 + np.exp(-x))
 
 
+@pytest.mark.slow
 def test_moe_ffn_matches_per_token_dense_computation():
     """With capacity ample, top-1 MoE output == per-token dense FFN of
     the selected expert, scaled by its gate."""
@@ -80,6 +82,7 @@ def test_moe_capacity_drop_is_residual_passthrough():
     np.testing.assert_allclose(float(dropped), 24 / 32, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_moe_dit_forward_and_description_roundtrip():
     from diffsci_tpu.models.nets.describe import net_from_description
     net = MoEDiffusionTransformer(nembed=16, nheads=2, nblocks=2,
@@ -99,6 +102,7 @@ def test_moe_dit_forward_and_description_roundtrip():
     np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
 
 
+@pytest.mark.slow
 def test_expert_parallel_forward_matches_single_device():
     """Sharding expert weights over the 'expert' axis is semantics-
     preserving: jitted forward on the dp x ep mesh == single device."""
@@ -127,6 +131,7 @@ def test_expert_parallel_forward_matches_single_device():
                                rtol=2e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dp_ep_train_step_matches_single_device():
     """Full jitted KarrasModel train step with the MoE-DiT under
     dp2 x ep4: loss and updated params match the single-device run."""

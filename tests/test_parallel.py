@@ -86,6 +86,7 @@ def test_pad_to_multiple():
     assert padded2.shape == (16, 3)
 
 
+@pytest.mark.slow
 def test_dp_tp_2d_mesh_train_step():
     """Combined data x tensor parallelism: params sharded on their output
     feature axis over 'tensor', batch over 'data'; the jitted train step
@@ -128,6 +129,7 @@ def test_initialize_distributed_single_process():
     assert initialize_distributed() == jax.process_count()  # idempotent
 
 
+@pytest.mark.slow
 def test_dp2_tp4_deeper_tensor_split():
     """dp2 x tp4: 4-way tensor split of the wide kernels still matches the
     single-device step (the scaling direction dryrun_multichip exercises
@@ -253,6 +255,7 @@ def test_fsdp_train_step_matches_single_device():
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fsdp_composes_with_tensor_parallel():
     """fsdp over 'data' composes with tp over 'tensor' on a 2D mesh:
     specs never double-shard a dimension and the step stays exact."""
@@ -289,6 +292,7 @@ def test_fsdp_composes_with_tensor_parallel():
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dp_sampling_matches_single_device():
     """Data-parallel sampling (KarrasModel.sample(mesh=...)) equals
     single-device sampling: same key -> same noise -> same trajectories,
@@ -319,6 +323,7 @@ def test_dp_sampling_matches_single_device():
         model2.sample(variables, key, 9, (3,), nsteps=4, mesh=mesh)
 
 
+@pytest.mark.slow
 def test_dp_sampling_si_and_ddpm():
     """SIModel.sample(mesh=...) and DDPMModel.sample(mesh=...) mirror the
     KarrasModel contract: same key => same samples as single-device."""

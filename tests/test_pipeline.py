@@ -28,6 +28,7 @@ def _build(nblocks=4, nembed=32, B=8):
     return model, variables, x, t
 
 
+@pytest.mark.slow
 def test_dit_param_tree_unchanged():
     """The setup-style refactor (embed/head methods) must keep the exact
     auto-names the compact version produced, so checkpoints restore.
@@ -54,6 +55,7 @@ def test_split_merge_roundtrip():
     ((("stage",), (8,)), 4),          # pure pipeline, 8 stages
     ((("data", "stage"), (2, 4)), 2),  # dp2 x pp4
 ])
+@pytest.mark.slow
 def test_pipeline_forward_matches_sequential(mesh_cfg, n_micro):
     axes, shape = mesh_cfg
     mesh = make_mesh(8, axes=axes, shape=shape)
@@ -134,6 +136,7 @@ def test_pipeline_train_step_updates():
     assert float(l1) < float(l0)
 
 
+@pytest.mark.slow
 def test_pipeline_edge_cases_and_errors():
     """n_micro=1 (degenerate schedule) still matches; indivisible block
     or batch counts raise."""
@@ -159,6 +162,7 @@ def test_pipeline_edge_cases_and_errors():
         fwd3(rest, stacked, x, t)
 
 
+@pytest.mark.slow
 def test_pipeline_parallel_sampling():
     """Diffusion sampling with the denoiser running under pipeline
     parallelism: the EDM backward propagation composes with the
@@ -198,6 +202,7 @@ def test_pipeline_parallel_sampling():
                                rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_pipeline_apply_generic_blocks():
     """pipeline_apply is model-agnostic: a plain parameterized residual
     block (no flax module machinery) pipelines identically."""

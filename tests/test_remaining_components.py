@@ -50,6 +50,7 @@ def test_vaenet_minimal_rf_and_1d():
         VAENet(cfg_std).receptive_radius()
 
 
+@pytest.mark.slow
 def test_vaenet_time_conditioned():
     """TimeVAENet coverage (timevaenet.py = with_time_emb config)."""
     from diffsci_tpu.models.nets import VAENet, VAENetConfig
@@ -176,6 +177,7 @@ def test_minimal_resnet_classifier_and_features():
     assert feats.shape == (4, 8)
 
 
+@pytest.mark.slow
 def test_dasc():
     from diffsci_tpu.models.nets import DASC, DASCConfig, dasc_loss
     cfg = DASCConfig(in_channels=1, frame_height=16, frame_width=16,
@@ -339,6 +341,7 @@ def test_sde_schedulers_math():
     np.testing.assert_allclose(ve.sigma(jnp.float32(1.0)), 10.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_sde_model_end_to_end():
     """Oracle noise predictor on a point mass: sampling converges."""
     from diffsci_tpu.models.sde import SDEModel, VPSchedulerConstant
@@ -421,6 +424,7 @@ def test_fld_orders_models_and_detects_memorization():
 # ---------------------------------------------------------------------------
 # edge-detection loss preprocessor (reference preprocessors.py:28-352)
 # ---------------------------------------------------------------------------
+@pytest.mark.slow
 def test_edge_preprocessor_features():
     from diffsci_tpu.ops import EdgeDetectionPreprocessor, smoothstep_window
     # window: interior ones, smooth taper, endpoints zero
@@ -476,6 +480,7 @@ def test_vae_edge_loss_preprocessor():
 # ---------------------------------------------------------------------------
 # HFNet family (reference hfnet.py:9-100)
 # ---------------------------------------------------------------------------
+@pytest.mark.slow
 def test_hfnet_family():
     from diffsci_tpu.models.nets import HFNet, HFNetUncond, HFNetCond
     x = jnp.zeros((2, 16, 16, 1))

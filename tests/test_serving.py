@@ -1,6 +1,7 @@
 """SamplerService: AOT compilation, bucket padding, chunking."""
 
 import numpy as np
+import pytest
 import jax
 
 from diffsci_tpu.models import KarrasModel, KarrasModelConfig
@@ -43,6 +44,7 @@ def test_sample_chunks_large_requests():
     assert not np.allclose(out[:4], out[4:8])
 
 
+@pytest.mark.slow
 def test_deterministic_with_explicit_key():
     svc1 = _service()
     svc2 = _service()
@@ -70,6 +72,7 @@ def test_explicit_key_deterministic_across_chunks():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_from_checkpoint_roundtrip(tmp_path):
     """Train-script-style checkpoint -> SamplerService.from_checkpoint ->
     deterministic sampling (the production loop: registry/description ->
@@ -197,15 +200,43 @@ def test_batched_large_request_chunks():
     np.testing.assert_array_equal(out, out2)
 
 
-def test_batched_rejects_stochastic():
-    import pytest
+def test_batched_stochastic_per_request_isolation():
+    """Stochastic integrators under cross-request batching (round-4):
+    in-scan noise is drawn per row from fold_in(row_key, step), so a
+    request's samples are invariant to what it was co-batched with."""
+    import threading
     model = KarrasModel(MLPUncond(dim=2, hidden_dims=(8,)),
                         KarrasModelConfig.from_edm())
     vs = model.init(jax.random.PRNGKey(0), (4, 2))
-    with pytest.raises(ValueError):
-        SamplerService(model, vs, shape=(2,), batch_buckets=(4,),
-                       nsteps=4, sample_kwargs={"stochastic": True},
-                       batch_window_ms=10.0)
+    svc = SamplerService(model, vs, shape=(2,), batch_buckets=(4, 16),
+                         nsteps=4, sample_kwargs={"stochastic": True},
+                         batch_window_ms=20.0)
+    svc.warmup()
+    key = jax.random.PRNGKey(7)
+    alone = svc.sample(3, key=key)
+    assert np.all(np.isfinite(alone))
+
+    noise_results = []
+
+    def noise_worker(i):
+        noise_results.append(svc.sample(5, key=jax.random.PRNGKey(900 + i)))
+
+    threads = [threading.Thread(target=noise_worker, args=(i,))
+               for i in range(6)]
+    for t in threads:
+        t.start()
+    crowded = svc.sample(3, key=key)
+    for t in threads:
+        t.join()
+    svc.close()
+    np.testing.assert_array_equal(alone, crowded)
+    # it IS stochastic: different keys produce different samples, and the
+    # SDE path differs from the deterministic service's output
+    det = _batched_service(buckets=(4, 16))
+    det.warmup()
+    det_out = det.sample(3, key=key)
+    det.close()
+    assert not np.allclose(alone, det_out)
 
 
 def test_mesh_mode_matches_single_device():

@@ -1,6 +1,7 @@
 """Trainer loop, data loading, and checkpoint round-trip tests."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -342,6 +343,7 @@ def test_lr_schedules():
         jnp.abs(upd0["w"]).sum())  # lr grew during warmup
 
 
+@pytest.mark.slow
 def test_gradient_accumulation_matches_large_step():
     """accumulate_gradients(tx, k): k identical micro-batches produce
     exactly one update equal to the unwrapped optimizer's single step;
@@ -376,6 +378,7 @@ def test_gradient_accumulation_matches_large_step():
                                    rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_sharded_fsdp_checkpoint_roundtrip(tmp_path):
     """Multi-chip checkpoint/resume: an FSDP-sharded TrainState (params +
     Adam moments + EMA over the data axis) saves with orbax and restores

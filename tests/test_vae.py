@@ -24,6 +24,7 @@ def small_dd(**kw):
     return DDConfig(**defaults)
 
 
+@pytest.mark.slow
 def test_autoencoder_kl_shapes_2d():
     ae = AutoencoderKL(small_dd(), embed_dim=2)
     x = jax.random.normal(KEY, (2, 16, 16, 1))
