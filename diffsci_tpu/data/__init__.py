@@ -1,7 +1,8 @@
 """Analytic toy datasets (the reference's diffsci/data/)."""
 
 from diffsci_tpu.data.loading import (ArrayDataLoader, train_val_split,
-                                      prefetch_to_device)
+                                      prefetch_to_device,
+                                      TorchLoaderAdapter)
 from diffsci_tpu.data.toy_datasets import (
     AnalyticalDataset,
     SinglePointDataset,
@@ -18,6 +19,7 @@ from diffsci_tpu.data.toy_datasets import (
 
 __all__ = [
     "ArrayDataLoader", "train_val_split", "prefetch_to_device",
+    "TorchLoaderAdapter",
     "AnalyticalDataset", "SinglePointDataset", "SingleGaussianDataset",
     "ZeroDataset", "ZeroMeanGaussianDataset", "MixtureOfPointsDataset",
     "MixtureOfGaussiansDataset", "DiagonalGaussianDataset",

@@ -92,6 +92,43 @@ class ArrayDataLoader:
             yield jax.tree.map(lambda a: a[idx], self.dataset)
 
 
+class TorchLoaderAdapter:
+    """Wrap a torch ``DataLoader`` (or any iterable of torch tensors /
+    tuples / dicts of them) into the numpy-batch iterable the Trainer
+    consumes.
+
+    Migration shim for reference users: the reference trains straight
+    off torch DataLoaders (reference tests/test_karras_on_toy_dataset.py:66-74);
+    here the same loader object can be passed through this adapter and
+    fed to ``Trainer.fit`` / ``fit_karras`` unchanged. Conversion is
+    zero-copy where torch memory is CPU-contiguous (``numpy()`` shares
+    the buffer; the subsequent ``device_put`` does the only real copy).
+
+    Torch is imported lazily so the package never hard-depends on it.
+    """
+
+    def __init__(self, loader: Any):
+        self.loader = loader
+
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    @staticmethod
+    def _to_numpy(item):
+        if hasattr(item, "detach") and hasattr(item, "numpy"):
+            t = item.detach()
+            if t.device.type != "cpu":
+                t = t.cpu()
+            if not t.is_contiguous():
+                t = t.contiguous()
+            return t.numpy()
+        return item
+
+    def __iter__(self) -> Iterator[Any]:
+        for batch in self.loader:
+            yield jax.tree.map(self._to_numpy, batch)
+
+
 def train_val_split(dataset: Any, val_fraction: float = 0.1, seed: int = 0):
     """Random split of a pytree dataset (torch random_split analogue)."""
     leaves = jax.tree.leaves(dataset)

@@ -12,7 +12,8 @@ from diffsci_tpu.models.regression import ForecastModel, ForecastModelConfig
 from diffsci_tpu.models.karras import (
     KarrasModel, KarrasModelConfig, karras_model_from_description,
     EMATracker, TrainState,
-    create_train_state, make_train_step, make_eval_step,
+    create_train_state, make_train_step, make_train_scan,
+    make_eval_step,
     default_optimizer, schedule_free_optimizer, schedule_free_eval_params,
     warmup_cosine_schedule, cosine_restarts_schedule, accumulate_gradients,
 )
@@ -24,7 +25,8 @@ __all__ = [
     "nets", "karras",
     "KarrasModel", "KarrasModelConfig", "karras_model_from_description",
     "EMATracker", "TrainState",
-    "create_train_state", "make_train_step", "make_eval_step",
+    "create_train_state", "make_train_step", "make_train_scan",
+    "make_eval_step",
     "default_optimizer", "schedule_free_optimizer",
     "warmup_cosine_schedule", "cosine_restarts_schedule",
     "accumulate_gradients",

@@ -39,7 +39,7 @@ from diffsci_tpu.models.karras.encoder import KarrasEncoderModel
 from diffsci_tpu.models.karras.train import (
     TrainState,
     create_train_state,
-    make_train_step,
+    make_train_step, make_train_scan,
     make_eval_step,
     default_optimizer,
     warmup_cosine_schedule,
@@ -66,7 +66,7 @@ __all__ = [
     "distill_interval_grid", "halving_schedule", "sample_onestep",
     "EMATracker", "EMAState", "power_function_beta",
     "power_function_exp_from_std",
-    "TrainState", "create_train_state", "make_train_step", "make_eval_step",
+    "TrainState", "create_train_state", "make_train_step", "make_train_scan", "make_eval_step",
     "default_optimizer", "schedule_free_optimizer",
     "warmup_cosine_schedule", "cosine_restarts_schedule",
     "accumulate_gradients",

@@ -139,7 +139,8 @@ def make_train_step(model, tx,
                     has_mp_weights: bool = False,
                     nan_guard: bool = True,
                     loss_fn: Callable | None = None,
-                    remat: bool = False):
+                    remat: bool = False,
+                    _raw: bool = False):
     """Build the jitted train step.
 
     ``loss_fn(variables, key, x, y, mask, train) -> (loss, updates)``
@@ -190,7 +191,44 @@ def make_train_step(model, tx,
                    "grad_norm": optax.global_norm(grads)}
         return new_state, metrics
 
+    if _raw:
+        return train_step
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_train_scan(model, tx, ema: EMATracker | None = None,
+                    has_mp_weights: bool = False, nan_guard: bool = True,
+                    loss_fn: Callable | None = None, remat: bool = False):
+    """K train steps per device dispatch via ``lax.scan``.
+
+    Returns a jitted ``scan_steps(state, keys, xs, ys=None) ->
+    (state, metrics)`` where ``keys`` is [K, 2] (stacked PRNG keys),
+    ``xs`` is [K, B, ...] (K pre-batched steps), and metrics are stacked
+    [K]-leaves. Semantics are EXACTLY K applications of
+    ``make_train_step``'s step (same body, same EMA cadence via the
+    step counter in the carry) — only the host dispatch is amortized.
+    On single-CPU hosts driving a remote TPU, per-step dispatch costs
+    dominate short steps; the reference's analogue is Lightning's tight
+    in-process loop which never pays a tunnel round-trip per step."""
+    step = make_train_step(model, tx, ema=ema,
+                           has_mp_weights=has_mp_weights,
+                           nan_guard=nan_guard, loss_fn=loss_fn,
+                           remat=remat, _raw=True)
+
+    def scan_steps(state: TrainState, keys, xs, ys=None):
+        def body(st, inp):
+            if ys is None:
+                k, x = inp
+                y = None
+            else:
+                k, x, y = inp
+            st, metrics = step(st, k, x, y)
+            return st, metrics
+
+        xs_in = (keys, xs) if ys is None else (keys, xs, ys)
+        return jax.lax.scan(body, state, xs_in)
+
+    return jax.jit(scan_steps, donate_argnums=(0,))
 
 
 def make_eval_step(model, ema: EMATracker | None = None,

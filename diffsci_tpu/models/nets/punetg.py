@@ -205,6 +205,17 @@ class PUNetG(nn.Module):
             for j in range(cfg.number_resnet_downward_block):
                 x = self._resnet(in_mult, f"down_{i}_res_{j}")(x, te, train)
             skips.append(x)
+            # Odd-size levels: pad spatial dims up to the downsample
+            # multiple so the strided transition is exact; the decoder
+            # crops back to the recorded skip shape. Static no-op when
+            # every level divides evenly (the pinned reference configs),
+            # and makes arbitrary spatial sizes (e.g. 28x28 with
+            # space_to_depth=2 -> 14 -> 7) shape-safe under jit.
+            sf = cfg.transition_scale_factor
+            pads = [(-d) % sf for d in x.shape[1:-1]]
+            if any(pads):
+                pad_width = ([(0, 0)] + [(0, p) for p in pads] + [(0, 0)])
+                x = jnp.pad(x, pad_width)
             x = layers.DownSampler(
                 ext[i + 1] * cfg.model_channels,
                 scale_factor=cfg.transition_scale_factor,
@@ -237,7 +248,11 @@ class PUNetG(nn.Module):
                 use_bias=cfg.bias,
                 convolution_type=cfg.convolution_type,
                 name=f"upsampler_{i}")(x)
-            x = x + skips.pop()
+            skip = skips.pop()
+            if x.shape[1:-1] != skip.shape[1:-1]:
+                x = x[(slice(None),)
+                      + tuple(slice(0, d) for d in skip.shape[1:-1])]
+            x = x + skip
             for j in range(cfg.number_resnet_upward_block):
                 x = self._resnet(out_mult, f"up_{i}_res_{j}")(x, te, train)
 

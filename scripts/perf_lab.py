@@ -245,20 +245,21 @@ def make_arms(lab):
 
     arms["fewnfe"] = fewnfe
 
-    def convergence(tag, tx=None, s2d=1, ema_every=1):
+    def convergence(tag, tx=None, s2d=1, ema_every=1, cfg_name="mnist"):
         """Train 300 steps on deterministic synthetic blobs; return the
         mean loss over the last 30 steps. Used to gate lever adoption:
         a lever only becomes a default if this matches the f32 baseline
         within noise."""
         from diffsci_tpu.models import (create_train_state, make_train_step,
                                         EMATracker)
-        model, c = lab.model_for("mnist", s2d)
+        model, c = lab.model_for(cfg_name, s2d)
+        H = c["spatial"][0]
         batch = 128
         shape = (batch,) + tuple(c["spatial"]) + (1,)
         rng = np.random.default_rng(0)
-        yy, xx2 = np.mgrid[0:28, 0:28].astype(np.float32)
-        cx = rng.uniform(8, 20, size=(512, 1, 1))
-        cy = rng.uniform(8, 20, size=(512, 1, 1))
+        yy, xx2 = np.mgrid[0:H, 0:H].astype(np.float32)
+        cx = rng.uniform(8, H - 8, size=(512, 1, 1))
+        cy = rng.uniform(8, H - 8, size=(512, 1, 1))
         r = rng.uniform(3, 6, size=(512, 1, 1))
         data = ((np.exp(-(((xx2 - cx) ** 2 + (yy - cy) ** 2)
                           / (2 * r ** 2))) * 2 - 1)[..., None]
@@ -267,17 +268,47 @@ def make_arms(lab):
                              update_every=ema_every)
         state, tx_built = create_train_state(
             model, jax.random.PRNGKey(0), shape, optimizer=tx, ema=tracker)
-        step = make_train_step(model, tx_built, ema=tracker)
+        from diffsci_tpu.models import make_train_scan
+        scan = make_train_scan(model, tx_built, ema=tracker)
         key = jax.random.PRNGKey(42)
+        # 2000 steps in 40-step scanned dispatches: long enough for the
+        # arms to approach their asymptote (300 python-dispatched steps
+        # measured early-transient differences only), cheap enough to run
+        # per-arm (~40s device time at the mnist config).
+        STEPS, CHUNK = 2000, 40
         losses = []
-        for i in range(300):
-            key, sub = jax.random.split(key)
-            xb = jnp.asarray(data[(i * batch) % 384:(i * batch) % 384
-                                  + batch])
-            state, m = step(state, sub, xb)
-            losses.append(m["train_loss"])
-        tail = float(np.mean([float(v) for v in losses[-30:]]))
-        return {f"conv_{tag}_loss300": tail}
+        i = 0
+        for _ in range(STEPS // CHUNK):
+            keys = []
+            xs = []
+            for _ in range(CHUNK):
+                key, sub = jax.random.split(key)
+                keys.append(sub)
+                lo = (i * batch) % 384
+                xs.append(data[lo:lo + batch])
+                i += 1
+            state, ms = scan(state, jnp.stack(keys),
+                             jnp.asarray(np.stack(xs)))
+            losses.extend(np.asarray(ms["train_loss"]).tolist())
+        tail = float(np.mean(losses[-200:]))
+        # Fixed-sigma validation denoising loss: evaluated with one FIXED
+        # key on a FIXED held-out batch over a FIXED log-spaced sigma grid
+        # — deterministic given the trained params, so arms are comparable
+        # (the raw 30-step tail loss spreads ~10x across bit-identical
+        # trajectories because EDM per-step loss depends on the sigma
+        # draw; see docs/artifacts/perf_lab_r4.json).
+        val = jnp.asarray(data[384:384 + 64])
+        sig_grid = jnp.exp(jnp.linspace(np.log(0.02), np.log(20.0), 8))
+        kfix = jax.random.PRNGKey(123)
+        vloss = 0.0
+        eval_loss = jax.jit(lambda v, k, s: model.loss_fn(
+            v, k, val, jnp.full((val.shape[0],), s), train=False)[0])
+        vs = state.variables()
+        for s in sig_grid:
+            vloss += float(eval_loss(vs, kfix, s))
+        vloss /= len(sig_grid)
+        return {f"conv_{tag}_loss2k": round(tail, 5),
+                f"conv_{tag}_fixed_sigma_val": round(vloss, 5)}
 
     arms["conv_f32"] = lambda: convergence("f32")
     arms["conv_mubf16"] = lambda: convergence(
@@ -287,6 +318,11 @@ def make_arms(lab):
     arms["conv_levers"] = lambda: convergence(
         "levers", tx=default_optimizer(mu_dtype=jnp.bfloat16), s2d=2,
         ema_every=4)
+    # gate for the landed cifar-config lever: s2d=2 at 32x32 (even levels)
+    arms["conv_cifar_f32"] = lambda: convergence(
+        "cifar_f32", cfg_name="cifar")
+    arms["conv_cifar_s2d"] = lambda: convergence(
+        "cifar_s2d", s2d=2, cfg_name="cifar")
     return arms
 
 
@@ -304,7 +340,13 @@ def main():
     names = args.only or list(arms)
     results = {}
     for name in names:
-        v = arms[name]()
+        try:
+            v = arms[name]()
+        except Exception as e:  # keep emitting the remaining arms
+            msg = f"ERROR: {type(e).__name__}: {e}"
+            results[name] = msg
+            print(json.dumps({name: msg.splitlines()[0][:200]}), flush=True)
+            continue
         if isinstance(v, dict):
             for k, vv in v.items():
                 results[k] = vv

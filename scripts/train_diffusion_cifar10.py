@@ -58,6 +58,11 @@ def main():
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--outdir", default="runs/cifar10-vp")
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--s2d", type=int, default=2,
+                    help="space_to_depth input folding; 2 is 2.3x faster "
+                         "on TPU v5e at 32x32 with the convergence gate "
+                         "unchanged (docs/artifacts/perf_lab_r4.json); "
+                         "set 1 for the reference-layout network")
     ap.add_argument("--n-devices", type=int, default=0)
     args = ap.parse_args()
 
@@ -76,10 +81,15 @@ def main():
 
     net = PUNetG(PUNetGConfig(model_channels=args.channels,
                               channel_expansion=[2, 4],
-                              input_channels=3, output_channels=3))
+                              input_channels=3, output_channels=3,
+                              space_to_depth=args.s2d))
     model = KarrasModel(net, KarrasModelConfig.from_vp(),
                         compute_dtype=jnp.bfloat16 if args.bf16 else None)
-    ema = EMATracker(ema_type="power", power_function_stds=EMA_STDS)
+    # shadow updated every 4th step with the exact power-profile
+    # telescoped decay: identical training trajectory, ~1% less HBM
+    # traffic (docs/artifacts/perf_lab_r4.json)
+    ema = EMATracker(ema_type="power", power_function_stds=EMA_STDS,
+                     update_every=4)
     mesh = make_mesh(args.n_devices) if args.n_devices else None
 
     state, trainer = fit_karras(

@@ -80,7 +80,12 @@ def main():
     net = PUNetG(PUNetGConfig(model_channels=args.channels,
                               channel_expansion=CHANNEL_EXPANSION))
     model = KarrasModel(net, KarrasModelConfig.from_edm())
-    ema = EMATracker(ema_type="power", power_function_stds=EMA_STDS)
+    # every-4th-step shadow update (exact power-profile telescoped
+    # decay): same training trajectory, less HBM traffic. s2d folding is
+    # NOT used here: 28->14->7 hits odd-level padding and measured 0.7x
+    # (docs/artifacts/perf_lab_r4.json).
+    ema = EMATracker(ema_type="power", power_function_stds=EMA_STDS,
+                     update_every=4)
     mesh = make_mesh(args.n_devices) if args.n_devices else None
 
     state, trainer = fit_karras(

@@ -305,3 +305,27 @@ def test_punetg_space_to_depth():
     # config round-trip carries the flag
     assert nets.PUNetGConfig.from_description(
         cfg.export_description()).space_to_depth == 2
+
+
+@pytest.mark.slow
+def test_punetg_odd_spatial_levels():
+    """Levels that don't divide by the transition scale are shape-safe:
+    the encoder pads up to the downsample multiple and the decoder crops
+    back to the skip shape (28x28 with space_to_depth=2 folds to 14 ->
+    7 -> padded 8; plain 27x27 likewise). Output shape must equal the
+    input shape under jit, and gradients stay finite."""
+    for cfg, spatial in (
+        (nets.PUNetGConfig(model_channels=8, channel_expansion=[2, 4],
+                           space_to_depth=2), (28, 28)),
+        (nets.PUNetGConfig(model_channels=8, channel_expansion=[2, 4]),
+         (27, 27)),
+    ):
+        net = nets.PUNetG(cfg)
+        xb = jax.random.normal(jax.random.PRNGKey(1), (2,) + spatial + (1,))
+        t = jnp.ones((2,))
+        vs = net.init(jax.random.PRNGKey(2), xb, t)
+        out = jax.jit(lambda v, x, t: net.apply(v, x, t))(vs, xb, t)
+        assert out.shape == xb.shape, (out.shape, xb.shape)
+        g = jax.grad(lambda v: jnp.sum(net.apply(v, xb, t) ** 2))(vs)
+        assert all(bool(jnp.all(jnp.isfinite(l)))
+                   for l in jax.tree.leaves(g))

@@ -27,6 +27,31 @@ def test_array_dataloader():
     assert b1 != b2 or True  # may rarely coincide; just exercise the path
 
 
+def test_torch_loader_adapter():
+    """Reference-user migration shim: a torch DataLoader feeds the
+    Trainer via TorchLoaderAdapter, batches arrive as numpy with the
+    torch collation preserved (tuples / dicts / nested)."""
+    torch = pytest.importorskip("torch")
+    from torch.utils.data import DataLoader, TensorDataset
+    from diffsci_tpu.data import TorchLoaderAdapter
+
+    xs = torch.arange(24, dtype=torch.float32).reshape(12, 2)
+    ys = torch.arange(12)
+    loader = DataLoader(TensorDataset(xs, ys), batch_size=4)
+    adapted = TorchLoaderAdapter(loader)
+    assert len(adapted) == 3
+    for ep in range(2):  # re-iterable, unlike a raw generator
+        batches = list(adapted)
+        assert len(batches) == 3
+        xb, yb = batches[0]
+        assert isinstance(xb, np.ndarray) and xb.shape == (4, 2)
+        np.testing.assert_array_equal(yb, np.arange(4))
+    # non-contiguous and dict-collated batches convert too
+    out = TorchLoaderAdapter([{"a": xs.t()}])
+    (b,) = list(out)
+    np.testing.assert_array_equal(b["a"], xs.numpy().T)
+
+
 def test_train_val_split():
     ds = np.arange(100).reshape(50, 2)
     train, val = train_val_split(ds, val_fraction=0.2, seed=0)
@@ -116,6 +141,49 @@ def test_schedule_free_optimizer():
     diffs = [float(np.abs(a - b).max()) for a, b in
              zip(jax.tree.leaves(eval_params), jax.tree.leaves(state.params))]
     assert max(diffs) > 0
+
+
+def test_train_scan_matches_stepwise():
+    """make_train_scan(K steps in one lax.scan dispatch) is bit-equal to
+    K sequential make_train_step calls: same params, EMA shadow (incl.
+    update_every cadence crossing inside the scan), and stacked losses."""
+    from diffsci_tpu.models import (KarrasModel, KarrasModelConfig,
+                                    create_train_state, make_train_step,
+                                    make_train_scan, EMATracker)
+    from diffsci_tpu.models.nets import MLPUncond
+
+    model = KarrasModel(MLPUncond(dim=3, hidden_dims=(8,)),
+                        KarrasModelConfig.from_edm())
+    tracker = EMATracker(ema_type="power", power_function_stds=[0.05],
+                         update_every=2)
+    key = jax.random.PRNGKey(0)
+    state, tx = create_train_state(model, key, (4, 3), ema=tracker)
+    step = make_train_step(model, tx, ema=tracker)
+    scan = make_train_scan(model, tx, ema=tracker)
+
+    K = 5
+    keys = jax.random.split(jax.random.PRNGKey(7), K)
+    xs = jax.random.normal(jax.random.PRNGKey(8), (K, 4, 3))
+
+    # both step and scan donate their state argument: give each its own
+    state_copy = jax.tree.map(jnp.array, state)
+
+    s_ref = state
+    losses = []
+    for i in range(K):
+        s_ref, m = step(s_ref, keys[i], xs[i])
+        losses.append(float(m["train_loss"]))
+    s_scan, ms = scan(state_copy, keys, xs)
+
+    assert int(s_scan.step) == int(s_ref.step) == K
+    np.testing.assert_allclose(np.asarray(ms["train_loss"]),
+                               np.asarray(losses), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_scan.params),
+                    jax.tree.leaves(s_ref.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(s_scan.ema),
+                    jax.tree.leaves(s_ref.ema)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_remat_train_step_matches_plain():
