@@ -21,16 +21,15 @@ throughput numbers (BASELINE.md), so the baseline is this build's own
 previous round — a plain measured ratio. Per-config absolutes and the
 round-1 MNIST continuity ratio are reported as labeled extras.
 
-Round-4 config changes, reflected in the composite and labeled in the
-JSON: the 'cifar' member measures the now-recommended space_to_depth=2
-config (2.3x lane-packing win, convergence-gated with a fixed-sigma
-validation loss — docs/artifacts/perf_lab_r4.json; the plain config
-remains a labeled extra), and the EMA shadow updates every 4th step
-with the exact power-profile telescoped decay (training trajectory and
-train_loss_final are bitwise unaffected; only shadow read/write traffic
-drops). Same-workload code-level gains this round are ~1% — MNIST sits
-at 94% of the HBM roofline (docs/design.md) — so the headline moves on
-these two measured, quality-gated config levers.
+Round-4 measured outcomes (docs/artifacts/perf_lab_r4.json): the EMA
+shadow now updates every 4th step with the exact power-profile
+telescoped decay (the training trajectory and train_loss_final are
+bitwise unaffected — only shadow read/write traffic drops; worth ~1%).
+space_to_depth=2 at the CIFAR config is 2.3x faster but lost the
+equal-wall-clock convergence gate (fixed-sigma val 0.093 vs 0.076), so
+it ships as an opt-in knob and a labeled extra, NOT in the composite.
+MNIST sits at 94% of the HBM roofline (docs/design.md); the honest
+same-workload composite is expected near 1.0x this round.
 
 Uses synthetic data (zero-egress environment); throughput does not depend
 on pixel content.
@@ -221,22 +220,18 @@ def main():
     sample_sec = (time.perf_counter() - t0) / REPEATS
 
     # --- CIFAR-scale conv path (reference's 128ch config) ---
-    # Round 4: the recommended config folds 2x2 pixel tiles into channels
-    # (space_to_depth=2) — 32->16->8 stays even at every level and the
-    # level-0 convs run at 4x channel density on 4x fewer positions,
-    # measured 2.3x on v5e (docs/artifacts/perf_lab_r4.json) with the
-    # fixed-sigma convergence gate unchanged. The composite's 'cifar'
-    # member measures THIS config (labeled cifar32_128ch_s2d2...); the
-    # plain config stays a labeled extra for continuity with rounds 1-3.
-    # (MNIST keeps s2d=1: 28->14->7 hits odd-level padding and measured
-    # 0.7x, same artifact.)
-    cifar_plain_cfg = PUNetGConfig(model_channels=128,
-                                   channel_expansion=[2, 2])
-    cifar_plain_ips = _train_throughput(cifar_plain_cfg, batch=128,
-                                        spatial=(32, 32), repeats=3)
-    cifar_cfg = dataclasses_replace(cifar_plain_cfg, space_to_depth=2)
+    # space_to_depth=2 at this config is 2.3x faster but measured WORSE
+    # on the equal-wall-clock convergence gate (fixed-sigma val 0.093 @
+    # 4640 steps vs plain 0.076 @ 2000 steps, same seconds;
+    # docs/artifacts/perf_lab_r4.json) — so it stays an opt-in
+    # throughput knob (labeled extra below + --s2d on the train script),
+    # NOT the composite member. The composite keeps the plain config.
+    cifar_cfg = PUNetGConfig(model_channels=128, channel_expansion=[2, 2])
     cifar_ips = _train_throughput(cifar_cfg, batch=128, spatial=(32, 32),
                                   repeats=3)
+    cifar_s2d_ips = _train_throughput(
+        dataclasses_replace(cifar_cfg, space_to_depth=2), batch=128,
+        spatial=(32, 32), repeats=3)
 
     # --- 3D attention path: 16^3 bottleneck = 4096 tokens ---
     vol_xla = PUNetGConfig(dimension=3, model_channels=32,
@@ -296,10 +291,9 @@ def main():
         "mnist_vs_r1_baseline": round(float(mnist_vs_r1), 3),
         "sample_18nfe_seconds_64imgs": round(float(sample_sec), 4),
         "train_loss_final": round(float(metrics["train_loss"]), 5),
-        "cifar32_128ch_s2d2_imgs_per_sec_per_chip": round(
-            float(cifar_ips), 2),
-        "cifar32_128ch_plain_imgs_per_sec_per_chip": round(
-            float(cifar_plain_ips), 2),
+        "cifar32_128ch_imgs_per_sec_per_chip": round(float(cifar_ips), 2),
+        "cifar32_128ch_s2d2_optin_imgs_per_sec_per_chip": round(
+            float(cifar_s2d_ips), 2),
         "vol3d_32c_attn4096_xla_items_per_sec": round(float(vol_ips_xla), 3),
         "vol3d_32c_attn4096_flash_items_per_sec": round(
             float(vol_ips_flash), 3),

@@ -227,6 +227,33 @@ def make_arms(lab):
         out["picard_par_100step_ms"] = time_fn(
             lambda: par_fn(vs, key2), lambda o: float(jnp.sum(o[0])),
             steps=3, warmup=2) * 1e3
+
+        # The arms above use an UNTRAINED net whose garbage score keeps
+        # the tol-gated frontier advancing 1 step/sweep (sweeps == S,
+        # degenerate). The oracle arm shows the mechanism on a smooth
+        # score — the regime real (trained) samplers operate in.
+        from diffsci_tpu.data import MixtureOfGaussiansDataset
+        from diffsci_tpu.ops import EDMScheduler
+        from diffsci_tpu.ops.parallel_sampling import picard_window_sample
+        mog = MixtureOfGaussiansDataset(
+            num_samples=8, means=[[2.0, 0.0], [-2.0, 0.0]],
+            weights=[1.0, 1.0], scale=0.3)
+        sched = EDMScheduler()
+        x0 = jax.random.normal(key2, (64, 2)) * sched.maximum_scale
+        orc_fn = jax.jit(lambda x: picard_window_sample(
+            sched, x, mog.gradlogprob, nsteps=S, window=W, tol=1e-3,
+            return_sweeps=True))
+        _, sweeps_o = orc_fn(x0)
+        out["picard_oracle_sweeps"] = int(sweeps_o)
+        out["picard_oracle_par_ms"] = time_fn(
+            lambda: orc_fn(x0), lambda o: float(jnp.sum(o[0])),
+            steps=3, warmup=2) * 1e3
+        seq_orc = jax.jit(lambda x: sched.propagate_backward(
+            jax.random.PRNGKey(0), x, mog.gradlogprob, S,
+            integrator="euler"))
+        out["picard_oracle_seq_ms"] = time_fn(
+            lambda: seq_orc(x0), lambda o: float(jnp.sum(o)),
+            steps=3, warmup=2) * 1e3
         return out
 
     arms["picard"] = picard
@@ -245,22 +272,28 @@ def make_arms(lab):
 
     arms["fewnfe"] = fewnfe
 
-    def convergence(tag, tx=None, s2d=1, ema_every=1, cfg_name="mnist"):
-        """Train 300 steps on deterministic synthetic blobs; return the
-        mean loss over the last 30 steps. Used to gate lever adoption:
-        a lever only becomes a default if this matches the f32 baseline
-        within noise."""
+    def convergence(tag, tx=None, s2d=1, ema_every=1, cfg_name="mnist",
+                    lr=3e-4, steps=2000, n_data=512):
+        """Train 2000 scanned steps on deterministic synthetic blobs;
+        gate lever adoption on the deterministic fixed-sigma validation
+        loss: a lever only becomes a default if it matches the baseline
+        within noise. lr=3e-4: the default 1e-3 diverges on this toy by
+        step ~1000 at BOTH configs (docs/artifacts/perf_lab_r4.json),
+        which would gate on garbage."""
         from diffsci_tpu.models import (create_train_state, make_train_step,
                                         EMATracker)
+        from diffsci_tpu.models.karras.train import default_optimizer
+        if tx is None:
+            tx = default_optimizer(lr)
         model, c = lab.model_for(cfg_name, s2d)
         H = c["spatial"][0]
         batch = 128
         shape = (batch,) + tuple(c["spatial"]) + (1,)
         rng = np.random.default_rng(0)
         yy, xx2 = np.mgrid[0:H, 0:H].astype(np.float32)
-        cx = rng.uniform(8, H - 8, size=(512, 1, 1))
-        cy = rng.uniform(8, H - 8, size=(512, 1, 1))
-        r = rng.uniform(3, 6, size=(512, 1, 1))
+        cx = rng.uniform(8, H - 8, size=(n_data, 1, 1))
+        cy = rng.uniform(8, H - 8, size=(n_data, 1, 1))
+        r = rng.uniform(3, 6, size=(n_data, 1, 1))
         data = ((np.exp(-(((xx2 - cx) ** 2 + (yy - cy) ** 2)
                           / (2 * r ** 2))) * 2 - 1)[..., None]
                 .astype(np.float32))
@@ -275,7 +308,7 @@ def make_arms(lab):
         # arms to approach their asymptote (300 python-dispatched steps
         # measured early-transient differences only), cheap enough to run
         # per-arm (~40s device time at the mnist config).
-        STEPS, CHUNK = 2000, 40
+        STEPS, CHUNK = steps, 40
         losses = []
         i = 0
         for _ in range(STEPS // CHUNK):
@@ -284,7 +317,7 @@ def make_arms(lab):
             for _ in range(CHUNK):
                 key, sub = jax.random.split(key)
                 keys.append(sub)
-                lo = (i * batch) % 384
+                lo = (i * batch) % (n_data - 128)
                 xs.append(data[lo:lo + batch])
                 i += 1
             state, ms = scan(state, jnp.stack(keys),
@@ -297,7 +330,7 @@ def make_arms(lab):
         # (the raw 30-step tail loss spreads ~10x across bit-identical
         # trajectories because EDM per-step loss depends on the sigma
         # draw; see docs/artifacts/perf_lab_r4.json).
-        val = jnp.asarray(data[384:384 + 64])
+        val = jnp.asarray(data[n_data - 128:n_data - 64])
         sig_grid = jnp.exp(jnp.linspace(np.log(0.02), np.log(20.0), 8))
         kfix = jax.random.PRNGKey(123)
         vloss = 0.0
@@ -312,17 +345,24 @@ def make_arms(lab):
 
     arms["conv_f32"] = lambda: convergence("f32")
     arms["conv_mubf16"] = lambda: convergence(
-        "mubf16", tx=default_optimizer(mu_dtype=jnp.bfloat16))
+        "mubf16", tx=default_optimizer(3e-4, mu_dtype=jnp.bfloat16))
     arms["conv_ema4"] = lambda: convergence("ema4", ema_every=4)
     arms["conv_s2d"] = lambda: convergence("s2d", s2d=2)
     arms["conv_levers"] = lambda: convergence(
-        "levers", tx=default_optimizer(mu_dtype=jnp.bfloat16), s2d=2,
-        ema_every=4)
+        "levers", tx=default_optimizer(3e-4, mu_dtype=jnp.bfloat16),
+        s2d=2, ema_every=4)
     # gate for the landed cifar-config lever: s2d=2 at 32x32 (even levels)
     arms["conv_cifar_f32"] = lambda: convergence(
         "cifar_f32", cfg_name="cifar")
     arms["conv_cifar_s2d"] = lambda: convergence(
         "cifar_s2d", s2d=2, cfg_name="cifar")
+    # equal-WALL-CLOCK comparison: s2d trains 2.32x more steps/sec
+    # (docs/artifacts/perf_lab_r4.json), so give it 2.32x the steps
+    arms["conv_cifar_f32_eqwall"] = lambda: convergence(
+        "cifar_f32_eqwall", cfg_name="cifar", steps=2000, n_data=2048)
+    arms["conv_cifar_s2d_eqwall"] = lambda: convergence(
+        "cifar_s2d_eqwall", s2d=2, cfg_name="cifar", steps=4640,
+        n_data=2048)
     return arms
 
 

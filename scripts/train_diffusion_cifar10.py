@@ -58,11 +58,13 @@ def main():
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--outdir", default="runs/cifar10-vp")
     ap.add_argument("--bf16", action="store_true")
-    ap.add_argument("--s2d", type=int, default=2,
-                    help="space_to_depth input folding; 2 is 2.3x faster "
-                         "on TPU v5e at 32x32 with the convergence gate "
-                         "unchanged (docs/artifacts/perf_lab_r4.json); "
-                         "set 1 for the reference-layout network")
+    ap.add_argument("--s2d", type=int, default=1,
+                    help="space_to_depth input folding (opt-in): 2 is "
+                         "2.3x faster on TPU v5e at 32x32 but measured "
+                         "slightly worse on the equal-wall-clock "
+                         "convergence gate "
+                         "(docs/artifacts/perf_lab_r4.json) - validate "
+                         "quality on your data before adopting")
     ap.add_argument("--n-devices", type=int, default=0)
     args = ap.parse_args()
 

@@ -20,6 +20,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: repeat test runs (the developer loop, CI
+# retries) skip recompiling unchanged jitted graphs — on the 1-CPU CI
+# host compile time dominates many tests. Set DIFFSCI_TEST_CACHE=off to
+# disable (e.g. when bisecting XLA itself).
+_cache = os.environ.get("DIFFSCI_TEST_CACHE", ".pytest_jax_cache")
+if _cache != "off":
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def pytest_collection_modifyitems(config, items):
     """Auto-tier: every test in a test_reference_parity* file carries the
