@@ -14,12 +14,15 @@ install:
 test:
 	$(PYTHON) -m pytest tests/ -q
 
-## Fast iteration: skip the slow 3D/e2e tests (~6 min vs ~17)
+## Fast iteration: skip the slow 3D/e2e tests
 test-fast:
 	$(PYTHON) -m pytest tests/ -q -m "not slow" -x
 
-## Quickest tier (<3 min): also skip the golden-fixture parity pins.
-## Add -n auto to any tier for pytest-xdist parallelism.
+## Quickest tier: also skip the golden-fixture parity pins.
+## Measured (round 4): ~4 min warm / ~6 min cold on a 1-CPU host; the
+## persistent JAX compile cache (tests/conftest.py, .pytest_jax_cache)
+## makes repeat runs the warm case. On a multicore box add -n auto
+## (pytest-xdist) to any tier.
 test-quick:
 	$(PYTHON) -m pytest tests/ -q -m "not slow and not parity" -x
 

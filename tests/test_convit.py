@@ -80,6 +80,7 @@ def test_convit_conditional():
     assert not jnp.allclose(out_c, out_u)
 
 
+@pytest.mark.slow
 def test_convit_conv_resampling_and_out_channels():
     cfg = small_cfg(with_conv_on_upsample=True, with_conv_on_downsample=True,
                     out_channels=3)

@@ -109,6 +109,7 @@ def test_forward_propagation():
     assert abs(float(jnp.std(out)) - 1.0) < 0.2
 
 
+@pytest.mark.slow
 def test_ddpm_compute_dtype_bf16():
     """bf16 mixed precision in DDPMModel."""
     import flax.linen as nn

@@ -76,6 +76,7 @@ def test_unknown_kind_raises():
         net_from_description({"kind": "nope", "config": {}})
 
 
+@pytest.mark.slow
 def test_karras_model_from_description_dispatches_hfnet():
     """End to end: an HFNet-backed KarrasModel round-trips through its
     checkpoint description and produces identical outputs."""

@@ -119,6 +119,7 @@ def test_decoder_halo_radius():
         decoder_halo_radius(DDConfig(has_mid_attn=True))
 
 
+@pytest.mark.slow
 def test_halo_shard_decode_matches_tiled():
     from diffsci_tpu.parallel import make_mesh
     dec = LocalDecoder()

@@ -58,6 +58,7 @@ def test_moe_ffn_matches_per_token_dense_computation():
     assert float(moe_aux_loss(inter, weight=1.0)) >= 0.0 - 1e-6
 
 
+@pytest.mark.slow
 def test_moe_capacity_drop_is_residual_passthrough():
     """Zero router -> every token routes to expert 0; with capacity <
     tokens, overflow tokens contribute exactly zero (the block residual

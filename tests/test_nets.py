@@ -83,6 +83,7 @@ def test_circular_conv_is_periodic():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_resnet_block_c_shapes():
     x = jax.random.normal(KEY, (2, 8, 8, 16))
     te = jax.random.normal(KEY, (2, 16))

@@ -356,6 +356,7 @@ def test_dp_sampling_si_and_ddpm():
         dd.sample(vs, key, 9, (3,), mesh=mesh)
 
 
+@pytest.mark.slow
 def test_dp_sampling_si_latent_path_stays_sharded():
     """Regression (review finding): with an autoencoder, SIModel.sample's
     latent re-draw must re-apply the mesh sharding, or the integration

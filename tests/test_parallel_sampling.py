@@ -5,6 +5,7 @@ parallel-in-time sampler. Pinned against sequential Euler."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from diffsci_tpu import data, ops
 from diffsci_tpu.models import KarrasModel, KarrasModelConfig, MLPUncond
@@ -90,6 +91,7 @@ def test_karras_model_sample_parallel():
                                rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_window_picard_stochastic_matches_euler_maruyama():
     """stochastic=True: the pre-drawn injected noise enters the Picard sum
     as a constant, so tol=0 reproduces sequential Euler-Maruyama with the

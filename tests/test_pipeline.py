@@ -42,6 +42,7 @@ def test_dit_param_tree_unchanged():
     assert out.shape == x.shape
 
 
+@pytest.mark.slow
 def test_split_merge_roundtrip():
     model, variables, x, t = _build(nblocks=4)
     rest, stacked, names = split_dit_variables(variables, 4)

@@ -239,6 +239,7 @@ def test_batched_stochastic_per_request_isolation():
     assert not np.allclose(alone, det_out)
 
 
+@pytest.mark.slow
 def test_mesh_mode_matches_single_device():
     """SamplerService(mesh=...) shards every bucket execution over the
     data axis; same key -> same samples as the unsharded service."""

@@ -145,6 +145,7 @@ def test_soft_mask():
     np.testing.assert_allclose(model.create_soft_mask(mask, 0), mask)
 
 
+@pytest.mark.slow
 def test_inpaint_shapes():
     config = SIModelConfig(scheduler="linear", loss_metric="mse")
     model = SIModel(AnalyticFlowNet(x0=0.0), config)
@@ -186,6 +187,7 @@ def test_si_compute_dtype_bf16():
                                    rtol=0.05, atol=0.05)
 
 
+@pytest.mark.slow
 def test_running_stat_initial_norm():
     """initial_norm=True (reference flowfield.py:233-286): training batches
     update running mean/var under batch_stats/initial_norm; sampling

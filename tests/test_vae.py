@@ -118,6 +118,7 @@ def test_vae_adversarial_training():
     assert jnp.isfinite(m["train_loss"])
 
 
+@pytest.mark.slow
 def test_vae_distillation():
     dd = small_dd()
     teacher_net = AutoencoderKL(dd, embed_dim=2)
