@@ -5,6 +5,7 @@ from diffsci_tpu.models import nets
 from diffsci_tpu.models import karras
 from diffsci_tpu.models import vae
 from diffsci_tpu.models import ddpm
+from diffsci_tpu.models import ddpm_v1
 from diffsci_tpu.models import si
 from diffsci_tpu.models import sde
 from diffsci_tpu.models import regression
