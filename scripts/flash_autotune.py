@@ -44,22 +44,30 @@ def main():
 
     results = {}
     shapes = [
-        # (B, H, T, d) — vol3d bottleneck, mid, large-serving
-        (8, 2, 4096, 32),
-        (8, 2, 4096, 64),
-        (2, 4, 8192, 64),
-        (1, 8, 16384, 64),
+        # (B, H, T, d, dtype) — vol3d bottleneck, mid, large-serving;
+        # round-4 ADVICE follow-up: f32 and d=128 arms so the bq default
+        # is measured beyond the original v5e/bf16/d<=64 sweep
+        (8, 2, 4096, 32, "bf16"),
+        (8, 2, 4096, 64, "bf16"),
+        (2, 4, 8192, 64, "bf16"),
+        (1, 8, 16384, 64, "bf16"),
+        (8, 2, 4096, 64, "f32"),
+        (1, 8, 16384, 64, "f32"),
+        (2, 4, 8192, 128, "bf16"),
     ]
+    if "--quick" in sys.argv:
+        shapes = shapes[4:]
     bqs = [256, 512, 1024]
     bks = [512, 1024, 2048]
 
-    for (B, H, T, d) in shapes:
+    for (B, H, T, d, dt) in shapes:
+        dtype = jnp.bfloat16 if dt == "bf16" else jnp.float32
         key = jax.random.PRNGKey(0)
         kq, kk, kv = jax.random.split(key, 3)
-        q = jax.random.normal(kq, (B, H, T, d), jnp.bfloat16)
-        k = jax.random.normal(kk, (B, H, T, d), jnp.bfloat16)
-        v = jax.random.normal(kv, (B, H, T, d), jnp.bfloat16)
-        tag = f"B{B}H{H}T{T}d{d}"
+        q = jax.random.normal(kq, (B, H, T, d), dtype)
+        k = jax.random.normal(kk, (B, H, T, d), dtype)
+        v = jax.random.normal(kv, (B, H, T, d), dtype)
+        tag = f"B{B}H{H}T{T}d{d}{dt}"
         results[tag] = {}
 
         def loss(q, k, v, bq, bk):
