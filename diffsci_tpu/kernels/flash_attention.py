@@ -355,11 +355,13 @@ def flash_attention(q, k, v, block_q: int | None = None,
         # flash_autotune_r3): bq=1024 beats bq=512 at every measured
         # shape — fwd+bwd 7.41 vs 7.90 ms (T=4096 d64), 11.9 vs 12.3
         # (T=8192), 39.4 vs 41.0 (T=16384). bk=2048 is a wash vs 1024.
-        # CAVEAT: the sweep covered bf16, head dims 32/64, TPU v5e only;
-        # other dtypes / larger d / other generations may prefer a
-        # different block — correctness is block-size-independent
-        # (padding+masking), so override via block_q= if profiling says
-        # so on your hardware.
+        # Round-4 extended sweep (bench_history.json
+        # flash_autotune_r4_extended): f32 (T=4096/16384, d=64) and
+        # bf16 d=128 all pick bq=1024 too (or tie within 1.3%), so the
+        # default generalizes beyond the original bf16/d<=64 arms.
+        # Other TPU generations remain unmeasured — correctness is
+        # block-size-independent (padding+masking), so override via
+        # block_q= if profiling says so on your hardware.
         block_q = _pick_block(T, 1024)
     if block_k is None:
         block_k = _pick_block(T, 1024)
