@@ -22,32 +22,11 @@ import json
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt", required=True)
-    ap.add_argument("--shape", type=int, nargs="+", required=True,
-                    help="sample shape without batch dim, e.g. 28 28 1")
-    ap.add_argument("--port", type=int, default=8000)
-    ap.add_argument("--buckets", type=int, nargs="+", default=[8, 64])
-    ap.add_argument("--nsteps", type=int, default=18)
-    ap.add_argument("--ema-stds", type=float, nargs="*", default=[0.05])
-    ap.add_argument("--batch-window-ms", type=float, default=0.0,
-                    help="aggregate concurrent requests arriving within "
-                         "this window into one bucket execution "
-                         "(cross-request batching; 0 = off)")
-    args = ap.parse_args()
-
+def build_server(svc, port: int = 0) -> ThreadingHTTPServer:
+    """Bind the sampling endpoints over an existing SamplerService.
+    port=0 picks a free port (server.server_address[1]); tests and
+    embedders use this, main() below wires it to the CLI."""
     import jax
-    from diffsci_tpu.serving import SamplerService
-
-    svc = SamplerService.from_checkpoint(
-        args.ckpt, tuple(args.shape),
-        ema_stds=args.ema_stds or None,
-        batch_buckets=tuple(args.buckets), nsteps=args.nsteps,
-        batch_window_ms=args.batch_window_ms)
-    print("warming up...", flush=True)
-    times = svc.warmup(verbose=True)
-    print(f"ready on :{args.port} (warmup {times})", flush=True)
 
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code, obj):
@@ -88,7 +67,35 @@ def main():
         def log_message(self, fmt, *a):  # quiet default access log
             pass
 
-    ThreadingHTTPServer(("", args.port), Handler).serve_forever()
+    return ThreadingHTTPServer(("", port), Handler)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--shape", type=int, nargs="+", required=True,
+                    help="sample shape without batch dim, e.g. 28 28 1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--buckets", type=int, nargs="+", default=[8, 64])
+    ap.add_argument("--nsteps", type=int, default=18)
+    ap.add_argument("--ema-stds", type=float, nargs="*", default=[0.05])
+    ap.add_argument("--batch-window-ms", type=float, default=0.0,
+                    help="aggregate concurrent requests arriving within "
+                         "this window into one bucket execution "
+                         "(cross-request batching; 0 = off)")
+    args = ap.parse_args()
+
+    from diffsci_tpu.serving import SamplerService
+
+    svc = SamplerService.from_checkpoint(
+        args.ckpt, tuple(args.shape),
+        ema_stds=args.ema_stds or None,
+        batch_buckets=tuple(args.buckets), nsteps=args.nsteps,
+        batch_window_ms=args.batch_window_ms)
+    print("warming up...", flush=True)
+    times = svc.warmup(verbose=True)
+    print(f"ready on :{args.port} (warmup {times})", flush=True)
+    build_server(svc, args.port).serve_forever()
 
 
 if __name__ == "__main__":
