@@ -19,6 +19,11 @@ import jax
 class ArrayDataLoader:
     """Iterate minibatches over a pytree of equal-leading-dim arrays.
 
+    Larger-than-RAM corpora: leaves may be numpy memmaps
+    (``np.load(path, mmap_mode='r')``) — fancy-indexing a memmap reads
+    only the gathered batch, so .npy datasets stream from disk without
+    materializing (pinned by tests/test_trainer.py).
+
     Each epoch reshuffles with a fresh fold of the seed. ``drop_last=True``
     by default so batch shapes are static (jit-friendly).
 

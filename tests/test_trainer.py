@@ -27,6 +27,27 @@ def test_array_dataloader():
     assert b1 != b2 or True  # may rarely coincide; just exercise the path
 
 
+def test_array_dataloader_over_memmap(tmp_path):
+    """Larger-than-RAM datasets: ArrayDataLoader indexes numpy memmaps
+    (np.load(mmap_mode='r')) without materializing the file — only the
+    gathered batch is read. The streaming story for .npy corpora."""
+    path = tmp_path / "big.npy"
+    data = np.arange(1000 * 8, dtype=np.float32).reshape(1000, 8)
+    np.save(path, data)
+    mm = np.load(path, mmap_mode="r")
+    assert isinstance(mm, np.memmap)
+    loader = ArrayDataLoader({"x": mm}, batch_size=128, seed=3)
+    batches = list(loader)
+    assert len(batches) == 7
+    for b in batches:
+        assert b["x"].shape == (128, 8)
+    # gathered rows match the in-memory array under the same permutation
+    rng = np.random.default_rng(3)
+    order = rng.permutation(1000)
+    np.testing.assert_array_equal(np.asarray(batches[0]["x"]),
+                                  data[order[:128]])
+
+
 def test_torch_loader_adapter():
     """Reference-user migration shim: a torch DataLoader feeds the
     Trainer via TorchLoaderAdapter, batches arrive as numpy with the
