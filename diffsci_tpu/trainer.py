@@ -132,7 +132,57 @@ class Trainer:
         step = int(jax.device_get(state.step))
         t_start = time.perf_counter()
         images_seen = 0
+        # Preemption safety: TPU pods get SIGTERM'd (spot reclamation,
+        # maintenance). Flip a flag on the first signal; the loop
+        # breaks at the next step boundary and the save-last block below
+        # writes the final checkpoint before return, so --resume picks
+        # up where the preemption hit. Second signal restores default
+        # handling (a wedged save shouldn't block the kill). Only the
+        # main thread may install handlers — skipped elsewhere.
+        preempted = []
+        installed = {}
+        if self.checkpoint_manager is not None:
+            import signal
+            import threading
+            if threading.current_thread() is threading.main_thread():
+                def on_signal(signum, frame):
+                    preempted.append(signum)
+                    signal.signal(signum, installed[signum])
+                for sig in (signal.SIGTERM, signal.SIGINT):
+                    installed[sig] = signal.signal(sig, on_signal)
+        try:
+            state, step = self._fit_loop(
+                state, step_fn, train_loader, eval_fn, val_loader, key,
+                step, t_start, images_seen, preempted)
+        finally:
+            if installed:
+                import signal
+                for sig, prev in installed.items():
+                    try:
+                        signal.signal(sig, prev)
+                    except (ValueError, TypeError):
+                        pass
+        if preempted:
+            self.logger.log(step, {"preempted_by_signal": preempted[0]})
+        if (self.checkpoint_manager is not None and self.save_last
+                and step > 0 and step != self._last_saved_step):
+            self.checkpoint_manager.save(step, state)
+            self._last_saved_step = step
+        if self.checkpoint_manager is not None:
+            # drain the async save writer before returning — otherwise a
+            # process that exits right after fit() races the background
+            # save thread ("cannot schedule new futures after shutdown")
+            wait = getattr(self.checkpoint_manager, "wait_until_finished",
+                           None)
+            if wait is not None:
+                wait()
+        return state
+
+    def _fit_loop(self, state, step_fn, train_loader, eval_fn, val_loader,
+                  key, step, t_start, images_seen, preempted):
         for epoch in range(self.max_epochs):
+            if preempted:
+                break
             for x, y, mask in self._batches(train_loader):
                 key, sub = jax.random.split(key)
                 if (self.profile_dir and self.profile_steps
@@ -157,6 +207,10 @@ class Trainer:
                     self._last_saved_step = step
                 if self.max_steps is not None and step >= self.max_steps:
                     break
+                if preempted:
+                    break
+            if preempted:
+                break
             if (eval_fn is not None and val_loader is not None
                     and (epoch + 1) % self.val_every_epochs == 0):
                 val_metrics = self.validate(state, eval_fn, val_loader, key)
@@ -174,19 +228,7 @@ class Trainer:
                     self._last_saved_step = step
             if self.max_steps is not None and step >= self.max_steps:
                 break
-        if (self.checkpoint_manager is not None and self.save_last
-                and step > 0 and step != self._last_saved_step):
-            self.checkpoint_manager.save(step, state)
-            self._last_saved_step = step
-        if self.checkpoint_manager is not None:
-            # drain the async save writer before returning — otherwise a
-            # process that exits right after fit() races the background
-            # save thread ("cannot schedule new futures after shutdown")
-            wait = getattr(self.checkpoint_manager, "wait_until_finished",
-                           None)
-            if wait is not None:
-                wait()
-        return state
+        return state, step
 
     def validate(self, state, eval_fn, val_loader, key) -> dict[str, float]:
         sums = collections.defaultdict(float)

@@ -375,6 +375,55 @@ def test_trainer_prefetch_same_result():
     np.testing.assert_array_equal(results[0], results[1])
 
 
+def test_preemption_sigterm_saves_checkpoint(tmp_path):
+    """TPU-pod preemption safety: SIGTERM mid-fit breaks the loop at the
+    next step boundary, the final checkpoint is written, fit returns
+    cleanly, and the run resumes from the saved step."""
+    import os
+    import signal
+    import threading
+
+    from diffsci_tpu.models import (KarrasModel, KarrasModelConfig,
+                                    create_train_state, make_train_step)
+    from diffsci_tpu.models.nets import MLPUncond
+    from diffsci_tpu.checkpoint import CheckpointManager
+    from diffsci_tpu.trainer import Trainer
+    from diffsci_tpu.data import ArrayDataLoader
+
+    model = KarrasModel(MLPUncond(dim=2, hidden_dims=(8,)),
+                        KarrasModelConfig.from_edm())
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), (4, 2))
+    step_fn = make_train_step(model, tx)
+    data = np.random.default_rng(0).standard_normal((64, 2)) \
+        .astype(np.float32)
+    loader = ArrayDataLoader(data, batch_size=4)
+    mgr = CheckpointManager(tmp_path / "ckpt", max_to_keep=3)
+    trainer = Trainer(max_epochs=10_000, checkpoint_manager=mgr,
+                      select_batch=model.select_batch)
+    # first batch compiles (~seconds); fire SIGTERM shortly after start
+    timer = threading.Timer(2.0, lambda: os.kill(os.getpid(),
+                                                 signal.SIGTERM))
+    timer.start()
+    try:
+        out_state = trainer.fit(state, step_fn, loader)
+    finally:
+        timer.cancel()
+    mgr.wait_until_finished()
+    saved = mgr._mgr.all_steps()
+    final = int(jax.device_get(out_state.step))
+    assert final > 0 and final < 10_000 * 16  # actually interrupted
+    assert final in saved, (final, saved)
+    # and the handler was restored
+    assert signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL,
+                                                signal.default_int_handler,
+                                                signal.Handlers.SIG_DFL)
+    # resume from the preemption checkpoint
+    state2, _ = create_train_state(model, jax.random.PRNGKey(0), (4, 2))
+    restored, rstep = mgr.restore_latest(state2)
+    assert rstep == final
+    assert int(jax.device_get(restored.step)) == final
+
+
 def test_metric_save_replaces_cadence_save_same_step(tmp_path):
     """A validation save at a step that already has a cadence save must
     record the metric (orbax silently drops duplicate-step saves, which
