@@ -9,6 +9,8 @@ from diffsci_tpu.models.karras.module import (
 )
 from diffsci_tpu.models.karras.ema import (
     EMATracker,
+    synthesize_posthoc_ema,
+    solve_posthoc_weights,
     EMAState,
     power_function_beta,
     power_function_exp_from_std,
@@ -65,6 +67,7 @@ __all__ = [
     "make_distill_step", "distill_progressive", "distill_targets",
     "distill_interval_grid", "halving_schedule", "sample_onestep",
     "EMATracker", "EMAState", "power_function_beta",
+    "synthesize_posthoc_ema", "solve_posthoc_weights",
     "power_function_exp_from_std",
     "TrainState", "create_train_state", "make_train_step", "make_train_scan", "make_eval_step",
     "default_optimizer", "schedule_free_optimizer",

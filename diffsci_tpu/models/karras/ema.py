@@ -172,3 +172,78 @@ class EMATracker:
                     power_function_stds=list(self.power_function_stds),
                     profile_index=self.profile_index,
                     update_every=self.update_every)
+
+
+# --- post-hoc EMA synthesis (beyond parity) ---------------------------------
+#
+# Karras et al., "Analyzing and Improving the Training Dynamics of
+# Diffusion Models" (arXiv:2312.02696) §3.3: a power-function EMA with
+# exponent gamma snapshotted at training time t averages the parameter
+# trajectory with response r(tau) = ((gamma+1)/t) * (tau/t)^gamma on
+# [0, t]. Responses of stored snapshots span a subspace; ANY target
+# profile is approximated post hoc by the least-squares combination of
+# snapshots — so the EMA length can be chosen AFTER training (e.g. swept
+# against FID) instead of committed to up front. The inner products
+# below have closed forms, so the solve is a tiny host-side linalg
+# problem; synthesis is one weighted pytree sum.
+
+
+def _power_response_dot(t_a, gamma_a, t_b, gamma_b):
+    """<r_a, r_b> for two power-function responses (closed form):
+    integral_0^min(ta,tb) r_a(tau) r_b(tau) dtau."""
+    t_a = np.asarray(t_a, np.float64)
+    t_b = np.asarray(t_b, np.float64)
+    gamma_a = np.asarray(gamma_a, np.float64)
+    gamma_b = np.asarray(gamma_b, np.float64)
+    t_ratio = t_a / t_b
+    t_exp = np.where(t_a < t_b, gamma_b, -gamma_a)
+    t_max = np.maximum(t_a, t_b)
+    num = (gamma_a + 1.0) * (gamma_b + 1.0) * t_ratio ** t_exp
+    den = (gamma_a + gamma_b + 1.0) * t_max
+    return num / den
+
+
+def solve_posthoc_weights(snap_ts, snap_stds, target_t, target_std):
+    """Least-squares weights over stored snapshots reproducing the
+    target profile: solve A w = b with A_ij = <r_i, r_j>,
+    b_i = <r_i, r_target>. ``snap_ts`` are the training steps at which
+    the shadows were saved; stds are the relative-std parameterization
+    (converted through the same cubic as training-time EMA)."""
+    snap_ts = np.asarray(snap_ts, np.float64)
+    gammas = np.array([power_function_exp_from_std(s) for s in snap_stds],
+                      np.float64)
+    tg = float(target_t)
+    gg = power_function_exp_from_std(target_std)
+    A = _power_response_dot(snap_ts[:, None], gammas[:, None],
+                            snap_ts[None, :], gammas[None, :])
+    b = _power_response_dot(snap_ts, gammas, tg, gg)
+    return np.linalg.solve(A, b)
+
+
+def synthesize_posthoc_ema(snapshots, snap_ts, snap_stds, target_std,
+                           target_t=None):
+    """Combine stored EMA shadow pytrees into the target profile.
+
+    ``snapshots``: sequence of param pytrees (the power-EMA shadows as
+    checkpointed during training, possibly interleaved from several
+    profiles); ``snap_ts``: their training steps; ``snap_stds``: the
+    relative std each shadow was tracked with; ``target_std``: the
+    profile to synthesize, evaluated at ``target_t`` (defaults to the
+    latest snapshot step). Returns the weighted pytree sum in f32.
+    """
+    if not (len(snapshots) == len(snap_ts) == len(snap_stds)):
+        raise ValueError("snapshots/snap_ts/snap_stds length mismatch")
+    if len(snapshots) == 0:
+        raise ValueError("need at least one snapshot")
+    if target_t is None:
+        target_t = max(snap_ts)
+    w = solve_posthoc_weights(snap_ts, snap_stds, target_t, target_std)
+
+    def combine(*leaves):
+        out = None
+        for wi, leaf in zip(w, leaves):
+            term = jnp.float32(wi) * leaf.astype(jnp.float32)
+            out = term if out is None else out + term
+        return out
+
+    return jax.tree.map(combine, *snapshots)

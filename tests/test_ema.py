@@ -168,3 +168,49 @@ def test_ema_update_every_traditional_beta_product():
     expected = decay ** K * 1.0 + (1 - decay ** K) * 5.0
     np.testing.assert_allclose(np.asarray(state.profiles[0]["w"]),
                                expected, rtol=1e-6)
+
+
+def test_posthoc_ema_synthesis_matches_direct_tracking():
+    """Post-hoc EMA (arXiv:2312.02696 §3.3): snapshots of two tracked
+    power profiles combine by closed-form least squares into ANY target
+    profile — here pinned against a third profile tracked directly
+    through the same parameter trajectory."""
+    from diffsci_tpu.models.karras.ema import (EMATracker,
+                                               synthesize_posthoc_ema)
+
+    stds = (0.02, 0.12)
+    target_std = 0.05
+    tracked = EMATracker(ema_type="power", power_function_stds=stds)
+    direct = EMATracker(ema_type="power",
+                        power_function_stds=(target_std,))
+
+    rng = np.random.default_rng(0)
+    params = {"w": jnp.zeros((4,), jnp.float32)}
+    st = tracked.init(params)
+    sd = direct.init(params)
+    snapshots, snap_ts, snap_stds = [], [], []
+    T = 1000
+    walk = np.cumsum(rng.standard_normal((T, 4)).astype(np.float32) * 0.05,
+                     axis=0)
+    for t in range(1, T + 1):
+        params = {"w": jnp.asarray(walk[t - 1])}
+        st = tracked.update(st, params)
+        sd = direct.update(sd, params)
+        if t % 50 == 0:
+            for i, s in enumerate(stds):
+                snapshots.append(jax.tree.map(np.asarray, st.profiles[i]))
+                snap_ts.append(t)
+                snap_stds.append(s)
+
+    synth = synthesize_posthoc_ema(snapshots, snap_ts, snap_stds,
+                                   target_std)
+    want = np.asarray(sd.profiles[0]["w"])
+    got = np.asarray(synth["w"])
+    scale = np.abs(want).mean()
+    err = np.abs(got - want).max() / scale
+    assert err < 2e-2, err
+    # and it beats just grabbing the nearest tracked profile
+    near = min(range(len(stds)),
+               key=lambda i: abs(stds[i] - target_std))
+    base = np.abs(np.asarray(st.profiles[near]["w"]) - want).max() / scale
+    assert err < base / 3, (err, base)
