@@ -174,6 +174,42 @@ class CheckpointManager:
         """Drain orbax's async save writer (safe to call any time)."""
         self._mgr.wait_until_finished()
 
+    def synthesize_posthoc_ema(self, state_template, tracker,
+                               target_std: float, target_t=None):
+        """Post-hoc EMA (arXiv:2312.02696 §3.3) straight from this
+        manager's saved run: restore the EMA shadows of every retained
+        checkpoint and least-squares-combine them into the
+        ``target_std`` profile — the EMA length becomes a post-training
+        sweepable. ``tracker`` is the run's EMATracker (declares which
+        power stds each profile slot tracked). Returns the synthesized
+        param pytree (see models.karras.ema.synthesize_posthoc_ema for
+        the math). Accuracy grows with the number of retained
+        checkpoints — raise ``keep_cadence``/``max_to_keep`` on runs
+        meant for post-hoc sweeps."""
+        from diffsci_tpu.models.karras.ema import synthesize_posthoc_ema
+        if tracker.ema_type != "power":
+            raise ValueError("post-hoc synthesis needs power-profile EMA")
+        self.wait_until_finished()
+        steps = sorted(self._mgr.all_steps())
+        if not steps:
+            raise ValueError("no checkpoints saved")
+        snapshots, ts, stds = [], [], []
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct,
+                                state_template)
+        for step in steps:
+            st = self._mgr.restore(step,
+                                   args=ocp.args.StandardRestore(abstract))
+            if st.ema is None:
+                continue
+            for i, s in enumerate(tracker.power_function_stds):
+                snapshots.append(st.ema.profiles[i])
+                ts.append(step)
+                stds.append(s)
+        if not snapshots:
+            raise ValueError("saved checkpoints carry no EMA state")
+        return synthesize_posthoc_ema(snapshots, ts, stds, target_std,
+                                      target_t=target_t)
+
     def close(self):
         self._mgr.wait_until_finished()
         self._mgr.close()

@@ -214,3 +214,48 @@ def test_posthoc_ema_synthesis_matches_direct_tracking():
                key=lambda i: abs(stds[i] - target_std))
     base = np.abs(np.asarray(st.profiles[near]["w"]) - want).max() / scale
     assert err < base / 3, (err, base)
+
+
+def test_posthoc_ema_from_checkpoint_manager(tmp_path):
+    """The production path: train with cadence saves, then synthesize a
+    new EMA profile from the retained checkpoints alone."""
+    from diffsci_tpu.models import (KarrasModel, KarrasModelConfig,
+                                    MLPUncond, create_train_state,
+                                    make_train_step)
+    from diffsci_tpu.checkpoint import CheckpointManager
+
+    stds = (0.02, 0.12)
+    tracker = EMATracker(ema_type="power", power_function_stds=stds)
+    model = KarrasModel(MLPUncond(dim=2, hidden_dims=[8]),
+                        KarrasModelConfig.from_edm())
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), (8, 2),
+                                   ema=tracker)
+    step_fn = make_train_step(model, tx, ema=tracker)
+    mgr = CheckpointManager(tmp_path / "ck", max_to_keep=20,
+                            keep_cadence=20)
+    key = jax.random.PRNGKey(1)
+    xs = jax.random.normal(jax.random.PRNGKey(2), (8, 2)) + 1.0
+    for t in range(1, 121):
+        key, sub = jax.random.split(key)
+        state, _ = step_fn(state, sub, xs)
+        if t % 20 == 0:
+            mgr.save(t, state)
+    mgr.wait_until_finished()
+
+    template, _ = create_train_state(model, jax.random.PRNGKey(0), (8, 2),
+                                     ema=tracker)
+    synth = mgr.synthesize_posthoc_ema(template, tracker, target_std=0.05)
+    # sanity: synthesized params live between raw params and early EMA,
+    # same tree structure, finite
+    assert jax.tree.structure(synth) == jax.tree.structure(state.params)
+    for leaf in jax.tree.leaves(synth):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+    # and it differs from both tracked profiles (a genuinely new profile)
+    d0 = max(float(np.abs(a - b).max()) for a, b in
+             zip(jax.tree.leaves(synth),
+                 jax.tree.leaves(state.ema.profiles[0])))
+    d1 = max(float(np.abs(a - b).max()) for a, b in
+             zip(jax.tree.leaves(synth),
+                 jax.tree.leaves(state.ema.profiles[1])))
+    assert d0 > 1e-6 and d1 > 1e-6
+    mgr.close()
