@@ -11,7 +11,8 @@ from diffsci_tpu.models import sde
 from diffsci_tpu.models import regression
 from diffsci_tpu.models.regression import ForecastModel, ForecastModelConfig
 from diffsci_tpu.models.karras import (
-    KarrasModel, KarrasModelConfig, karras_model_from_description,
+    KarrasModel, KarrasModelConfig, IntervalGuidance,
+    karras_model_from_description,
     EMATracker, TrainState,
     create_train_state, make_train_step, make_train_scan,
     make_eval_step,
@@ -24,7 +25,7 @@ from diffsci_tpu.models.nets import (
 
 __all__ = [
     "nets", "karras",
-    "KarrasModel", "KarrasModelConfig", "karras_model_from_description",
+    "KarrasModel", "IntervalGuidance", "KarrasModelConfig", "karras_model_from_description",
     "EMATracker", "TrainState",
     "create_train_state", "make_train_step", "make_train_scan",
     "make_eval_step",

@@ -2,6 +2,7 @@
 
 from diffsci_tpu.models.karras.module import (
     KarrasModel,
+    IntervalGuidance,
     KarrasModelConfig,
     karras_model_from_description,
     KarrasNet,
@@ -57,7 +58,8 @@ from diffsci_tpu.models.karras.train import (
 )
 
 __all__ = [
-    "KarrasModel", "KarrasModelConfig", "karras_model_from_description",
+    "KarrasModel", "KarrasModelConfig", "IntervalGuidance",
+    "karras_model_from_description",
     "KarrasNet", "DynamicLossWeight",
     "EnsembleKarrasModel", "EnsembleKarrasModelConfig",
     "make_ensemble_train_step", "scheduled_replay_weight",

@@ -36,6 +36,22 @@ from diffsci_tpu.ops import losses as losses_lib
 from diffsci_tpu.ops.batchnorm import DimensionAgnosticBatchNorm
 
 
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class IntervalGuidance:
+    """CFG restricted to a noise-level band (beyond parity; Kynkäänniemi
+    et al., arXiv:2404.07724): pass anywhere a ``guidance`` float goes —
+    ``sample(..., guidance=IntervalGuidance(2.5, 0.3, 5.0))`` — and the
+    guidance scale applies only for sigma in [sigma_lo, sigma_hi]
+    (effective scale 1 elsewhere). Frozen/hashable, so it participates
+    in the jitted-sampler cache key like a plain float."""
+    scale: float
+    sigma_lo: float
+    sigma_hi: float
+
+
 class KarrasModelConfig:
     """Math configuration (karrasmodule.py:29-401)."""
 
@@ -349,10 +365,25 @@ class KarrasModel:
     # denoiser & score (karrasmodule.py:673-733)
     # ------------------------------------------------------------------
     def get_denoiser(self, variables, x, sigma, y=None, guidance: float = 1.0,
-                     train: bool = False, rngs=None):
+                     train: bool = False, rngs=None,
+                     guidance_interval=None):
         """D(x; sigma) = c_skip x + c_out F(c_in x, c_noise, y), with
         classifier-free guidance when guidance != 1 (karrasmodule.py:705-713).
-        Returns (denoiser, cond_noise)."""
+        Returns (denoiser, cond_noise).
+
+        ``guidance_interval`` (beyond parity): a ``(sigma_lo, sigma_hi)``
+        pair restricting CFG to that noise-level band — outside it the
+        effective guidance is 1 (the plain conditional denoiser).
+        Applying guidance only at intermediate sigmas improves sample
+        and distribution quality at equal guidance strength
+        (Kynkäänniemi et al., arXiv:2404.07724). Implemented as a
+        per-row blend so a batched sigma vector spanning the boundary
+        still takes one fused network call pair. Passing an
+        ``IntervalGuidance`` as ``guidance`` sets both at once (works
+        through every sampling entry point)."""
+        if isinstance(guidance, IntervalGuidance):
+            guidance_interval = (guidance.sigma_lo, guidance.sigma_hi)
+            guidance = guidance.scale
         pre = self.config.preconditioner
         c_skip_vec = pre.skip_scaling(sigma)
         c_out_vec = pre.output_scaling(sigma)
@@ -388,7 +419,13 @@ class KarrasModel:
             base = net_fwd(y)
             if guidance != 1.0:
                 uncond = net_fwd(None)
-                base = (1.0 - guidance) * uncond + guidance * base
+                g = jnp.asarray(guidance, jnp.float32)
+                if guidance_interval is not None:
+                    lo, hi = guidance_interval
+                    sig = jnp.asarray(sigma, jnp.float32)
+                    in_band = jnp.logical_and(sig >= lo, sig <= hi)
+                    g = bcast_right(jnp.where(in_band, g, 1.0), x)
+                base = (1.0 - g) * uncond + g * base
         else:
             base = net_fwd(None)
         use_fused = (self.fused_precondition is True

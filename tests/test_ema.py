@@ -216,6 +216,7 @@ def test_posthoc_ema_synthesis_matches_direct_tracking():
     assert err < base / 3, (err, base)
 
 
+@pytest.mark.slow
 def test_posthoc_ema_from_checkpoint_manager(tmp_path):
     """The production path: train with cadence saves, then synthesize a
     new EMA profile from the retained checkpoints alone."""

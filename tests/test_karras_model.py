@@ -242,3 +242,56 @@ def test_denoiser_sample_statistics_per_sigma():
                                    err_msg=f"mean at sigma={sigma_val}")
         np.testing.assert_allclose(got_std, want_std, rtol=3e-2,
                                    err_msg=f"std at sigma={sigma_val}")
+
+
+def test_interval_guidance():
+    """IntervalGuidance (arXiv:2404.07724): CFG applies only for sigma in
+    [lo, hi] — inside the band the denoiser equals plain guidance g,
+    outside it equals guidance 1; an interval covering all sigmas
+    reproduces plain CFG end-to-end through sample()."""
+    from diffsci_tpu.models import (KarrasModel, KarrasModelConfig,
+                                    IntervalGuidance)
+    from diffsci_tpu.models.nets import MLPCond
+
+    model = KarrasModel(MLPCond(dim=2, ydim=2, hidden_dims=[16]),
+                        KarrasModelConfig.from_edm(),
+                        conditional=True)
+    y = jnp.ones((4, 2))
+    variables = model.init(jax.random.PRNGKey(0), (4, 2), y)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 2))
+
+    ig = IntervalGuidance(2.5, 0.3, 5.0)
+    for sig_val, matches_cfg in ((1.0, True), (20.0, False), (0.01, False)):
+        sigma = jnp.full((4,), sig_val)
+        d_ig, _ = model.get_denoiser(variables, x, sigma, y, guidance=ig)
+        d_g, _ = model.get_denoiser(variables, x, sigma, y, guidance=2.5)
+        d_1, _ = model.get_denoiser(variables, x, sigma, y, guidance=1.0)
+        want = d_g if matches_cfg else d_1
+        np.testing.assert_allclose(np.asarray(d_ig), np.asarray(want),
+                                   rtol=1e-6)
+    # mixed batch: rows straddle the boundary in ONE call
+    sigma = jnp.array([1.0, 1.0, 20.0, 20.0])
+    d_ig, _ = model.get_denoiser(variables, x, sigma, y, guidance=ig)
+    d_g, _ = model.get_denoiser(variables, x, sigma, y, guidance=2.5)
+    d_1, _ = model.get_denoiser(variables, x, sigma, y, guidance=1.0)
+    np.testing.assert_allclose(np.asarray(d_ig[:2]), np.asarray(d_g[:2]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(d_ig[2:]), np.asarray(d_1[2:]),
+                               rtol=1e-6)
+
+    # end-to-end: an all-sigma interval == plain CFG through the jitted
+    # sampler; a narrow interval differs from both plain settings
+    wide = IntervalGuidance(2.5, 0.0, 1e9)
+    s_wide = model.sample(variables, jax.random.PRNGKey(9), 4, (2,),
+                          y=y, guidance=wide, nsteps=6)
+    s_cfg = model.sample(variables, jax.random.PRNGKey(9), 4, (2,),
+                         y=y, guidance=2.5, nsteps=6)
+    np.testing.assert_allclose(np.asarray(s_wide), np.asarray(s_cfg),
+                               rtol=1e-5, atol=1e-6)
+    s_band = model.sample(variables, jax.random.PRNGKey(9), 4, (2,),
+                          y=y, guidance=IntervalGuidance(2.5, 0.3, 5.0),
+                          nsteps=6)
+    s_g1 = model.sample(variables, jax.random.PRNGKey(9), 4, (2,),
+                        y=y, guidance=1.0, nsteps=6)
+    assert not np.allclose(np.asarray(s_band), np.asarray(s_cfg))
+    assert not np.allclose(np.asarray(s_band), np.asarray(s_g1))
