@@ -441,3 +441,56 @@ class SamplerService:
         if self.stats["wall_seconds"] == 0:
             return 0.0
         return self.stats["samples"] / self.stats["wall_seconds"]
+
+
+def build_server(svc: "SamplerService", port: int = 0):
+    """Bind minimal stdlib HTTP sampling endpoints over a service:
+    GET /healthz, GET /stats, POST /sample {"nsamples": N, "seed": S}.
+    port=0 picks a free port (server.server_address[1]). The CLI
+    (python -m diffsci_tpu serve) and scripts/serve_http.py wire this
+    to a checkpoint; embedders and tests run it in-process."""
+    import json
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import jax
+
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True, "warm": True})
+            elif self.path == "/stats":
+                self._json(200, dict(svc.stats,
+                                     throughput=svc.throughput()))
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/sample":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                nsamples = int(req.get("nsamples", 1))
+                if not 0 <= nsamples <= 4096:
+                    raise ValueError("nsamples out of range [0, 4096]")
+                key = (jax.random.PRNGKey(int(req["seed"]))
+                       if "seed" in req else None)
+                out = svc.sample(nsamples, key=key)
+                self._json(200, {"shape": list(out.shape),
+                                 "samples": out.tolist()})
+            except Exception as e:  # surface as a 400, keep serving
+                self._json(400, {"error": str(e)})
+
+        def log_message(self, fmt, *a):  # quiet default access log
+            pass
+
+    return ThreadingHTTPServer(("", port), Handler)
