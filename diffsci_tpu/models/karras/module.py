@@ -633,6 +633,30 @@ class KarrasModel:
             self._jit_cache[cache_key] = jax.jit(impl)
         return self._jit_cache[cache_key]
 
+    def sample_restart(self, variables, key, nsamples: int, shape,
+                       y=None, guidance: float = 1.0, nsteps: int = 18,
+                       restarts=((0.05, 2.0, 2),)):
+        """Restart sampling (Xu et al., arXiv:2306.14878; beyond parity
+        — see Scheduler.restart_propagate_backward): deterministic ODE
+        segments with K coordinated re-noise jumps per
+        ``(sigma_lo, sigma_hi, K)`` interval — beats both plain ODE and
+        per-step SDE noise at matched NFE on the paper's benchmarks.
+        Same key convention as ``sample``; diffusion-space only (latent
+        models: use ``sample``)."""
+        if self.latent_model:
+            raise NotImplementedError(
+                "sample_restart operates in the diffusion space; latent "
+                "models need sample()")
+        knoise, _, kprop = jax.random.split(key, 3)
+        x = jax.random.normal(knoise, (nsamples,) + tuple(shape))
+        x = x * self.config.noisescheduler.maximum_scale
+
+        def score_fn(xt, sigma):
+            return self.get_score(variables, xt, sigma, y, guidance)
+
+        return self.config.noisescheduler.restart_propagate_backward(
+            kprop, x, score_fn, nsteps, restarts=restarts)
+
     def _propagate_white_noise_impl(self, variables, key, x, y, guidance,
                                     nsteps, record_history, integrator,
                                     stochastic, original_y, return_latent,
