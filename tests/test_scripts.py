@@ -1,0 +1,49 @@
+"""Train-script surface smoke tests: each script's main() runs a tiny
+end-to-end configuration in-process (argparse -> data -> fit ->
+checkpoint), protecting the user-facing entry points the way the
+reference's scripts/ are its public recipe surface."""
+
+import pathlib
+import sys
+
+import pytest
+
+SCRIPTS = pathlib.Path(__file__).resolve().parents[1] / "scripts"
+sys.path.insert(0, str(SCRIPTS))
+
+
+def _run(monkeypatch, module, argv):
+    import importlib
+    mod = importlib.import_module(module)
+    monkeypatch.setattr(sys, "argv", [f"{module}.py"] + argv)
+    mod.main()
+
+
+@pytest.mark.slow
+def test_train_diffusion_mnist_smoke(tmp_path, monkeypatch):
+    _run(monkeypatch, "train_diffusion_mnist",
+         ["--steps", "2", "--batch", "8", "--channels", "8",
+          "--outdir", str(tmp_path)])
+    assert (tmp_path / "ckpt" / "description.json").exists()
+    assert (tmp_path / "metrics.jsonl").exists()
+
+
+@pytest.mark.slow
+def test_train_diffusion_cifar10_smoke(tmp_path, monkeypatch):
+    _run(monkeypatch, "train_diffusion_cifar10",
+         ["--steps", "2", "--batch", "8", "--channels", "8",
+          "--outdir", str(tmp_path)])
+    assert (tmp_path / "ckpt" / "description.json").exists()
+
+
+@pytest.mark.slow
+def test_train_diffusion_toy_smoke(tmp_path, monkeypatch):
+    _run(monkeypatch, "train_diffusion_toy",
+         ["--steps", "2", "--batch", "16"])
+
+
+@pytest.mark.slow
+def test_train_vae_smoke(tmp_path, monkeypatch):
+    _run(monkeypatch, "train_vae",
+         ["--steps", "2", "--batch", "4", "--resolution", "16",
+          "--outdir", str(tmp_path)])
