@@ -47,3 +47,25 @@ def test_train_vae_smoke(tmp_path, monkeypatch):
     _run(monkeypatch, "train_vae",
          ["--steps", "2", "--batch", "4", "--resolution", "16",
           "--outdir", str(tmp_path)])
+
+
+@pytest.mark.slow
+def test_train_diffusion_conditional_smoke(tmp_path, monkeypatch):
+    _run(monkeypatch, "train_diffusion_conditional",
+         ["--steps", "2", "--batch", "8", "--channels", "8",
+          "--nsamples", "4", "--outdir", str(tmp_path)])
+
+
+@pytest.mark.slow
+def test_train_super_resolution_smoke(tmp_path, monkeypatch):
+    _run(monkeypatch, "train_super_resolution",
+         ["--steps", "2", "--batch", "8", "--channels", "8",
+          "--nsamples", "4", "--ndraws", "2", "--outdir", str(tmp_path)])
+
+
+@pytest.mark.slow
+def test_train_ensemble_forecast_smoke(tmp_path, monkeypatch):
+    _run(monkeypatch, "train_ensemble_forecast",
+         ["--steps", "2", "--batch", "8", "--channels", "8",
+          "--ensemble", "2", "--eval-ensemble", "2", "--size", "16",
+          "--outdir", str(tmp_path)])
