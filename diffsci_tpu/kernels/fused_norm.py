@@ -142,9 +142,13 @@ def _fwd_kernel(x_ref, w_ref, b_ref, y_ref, mean_ref, rstd_ref,
     x = x_ref[...].astype(jnp.float32)        # [BB, *sp, CT]
     axes = tuple(range(1, x.ndim - 1))
     if subtract_mean:
+        # two-pass variance E[(x-mu)^2]: the block is already resident in
+        # VMEM, so centering first costs no extra HBM traffic — and the
+        # one-pass E[x^2]-mu^2 form cancels catastrophically when
+        # |mu| >> std (post-attention activations lose ~3 digits).
         mean = jnp.mean(x, axis=axes, keepdims=True)
-        var = jnp.mean(x * x, axis=axes, keepdims=True) - mean * mean
-        var = jnp.maximum(var, 0.0)
+        xc = x - mean
+        var = jnp.mean(xc * xc, axis=axes, keepdims=True)
     else:
         mean = jnp.zeros(mean_ref.shape, jnp.float32)
         var = jnp.mean(x * x, axis=axes, keepdims=True)

@@ -266,13 +266,14 @@ class _GroupNormBase(nn.Module):
         else:
             axes = (x.ndim,)
         if self.subtract_mean:
-            # joint moments: one fused pass over x computes E[x] and E[x^2]
-            # (vs mean -> subtract -> second reduction = an extra full HBM
-            # read; the step is bandwidth-bound — docs/design.md roofline)
+            # two-pass variance E[(x-mu)^2]: the one-pass E[x^2]-mu^2 form
+            # cancels catastrophically when |mu| >> std (e.g. post-attention
+            # activations, mu ~ 1, std ~ 0.03: ~3 digits lost). XLA keeps
+            # the centered tensor in registers/VMEM, so no extra HBM read.
             mean = jnp.mean(xg, axis=axes, keepdims=True)
-            ms = jnp.mean(xg ** 2, axis=axes, keepdims=True) - mean ** 2
-            ms = jnp.maximum(ms, 0.0)
-            xg = (xg - mean) / jnp.sqrt(ms + self.eps)
+            xc = xg - mean
+            ms = jnp.mean(xc ** 2, axis=axes, keepdims=True)
+            xg = xc / jnp.sqrt(ms + self.eps)
         else:
             ms = jnp.mean(xg ** 2, axis=axes, keepdims=True)
             xg = xg / jnp.sqrt(ms + self.eps)
