@@ -136,9 +136,10 @@ def import_torch_state_dict(state_dict: dict, name_map: dict[str, str],
             pass
         elif w.ndim >= 3:
             w = torch_kernel_to_jax(w)
-        elif w.ndim == 2 and path[-1] == "kernel":
-            # torch Linear stores [out, in]; flax Dense stores [in, out].
-            # Always transpose (a square matrix would pass the shape check
+        elif w.ndim == 2 and path[-1] in ("kernel", "w_mp"):
+            # torch Linear stores [out, in]; flax Dense (and the
+            # magnitude-preserving w_mp leaf) stores [in, out]. Always
+            # transpose (a square matrix would pass the shape check
             # untransposed).
             w = torch_linear_to_jax(w)
         if w.shape != leaf.shape:
@@ -268,15 +269,34 @@ def migrate_dit_attention_params(params: Any) -> Any:
 # pre-conversion, not by the leaf map.
 
 
-def punetg_reference_name_map(torch_keys) -> dict[str, str]:
+def _mp_flax_path(path: str) -> str:
+    """Rewrite a default-conv flax path into its magnitude-preserving
+    counterpart: Conv_/Dense_ module names become their
+    MagnitudePreserving* auto-names and 'kernel' leaves become the
+    ``w_mp`` sphere-projected parameter (models/nets/normed.py)."""
+    path = path.replace("/Conv_", "/MagnitudePreservingConv_")
+    path = path.replace("/Dense_", "/MagnitudePreservingDense_")
+    if path.endswith("/kernel"):
+        path = path[: -len("kernel")] + "w_mp"
+    return path
+
+
+def punetg_reference_name_map(torch_keys,
+                              convolution_type: str = "default",
+                              ) -> dict[str, str]:
     """Build the flax-path -> torch-key map for importing a reference
     PUNetG state dict (reference punetg.py:80-106 module tree) into our
     PUNetG variables ({'params': ..., 'buffers': ...}).
 
     Covers the default-norm config (first_norm='GroupLN',
-    second_norm='GroupRMS') with default or circular convolutions.
+    second_norm='GroupRMS') with default, circular, or magnitude-
+    preserving (``convolution_type='mp'``, punetg.py:217-236 ->
+    normedlayers.py) convolutions.
     Use with ``import_torch_state_dict``.
     """
+    if convolution_type == "mp":
+        base = punetg_reference_name_map(torch_keys, "default")
+        return {_mp_flax_path(p): k for p, k in base.items()}
     name_map = {}
     for key in torch_keys:
         if key == "time_projection.W":
@@ -309,10 +329,13 @@ def punetg_reference_name_map(torch_keys) -> dict[str, str]:
 
 
 _TORCH_MHA_RE = re.compile(r"^attn_block\.(\d+)\.mhattn\.(.+)$")
+_TORCH_INHOUSE_MHA_RE = re.compile(
+    r"^attn_block\.(\d+)\.mhattn\.([qkvo])_proj_matrix$")
 
 
 def import_reference_punetg(state_dict: dict, dst_template: Any,
-                            num_heads: int = 1, scope: str = "") -> Any:
+                            num_heads: int = 1, scope: str = "",
+                            convolution_type: str = "default") -> Any:
     """Import a reference PUNetG state dict (punetg.py:80-106) into our
     PUNetG variables, including torch.nn.MultiheadAttention bottleneck
     layers (attention.py:30-36): the packed in_proj [3C, C] is split into
@@ -324,7 +347,20 @@ def import_reference_punetg(state_dict: dict, dst_template: Any,
     sd = dict(state_dict)
     pre = {}
     name_map = {}
+    mp = convolution_type == "mp"
     for key in list(sd):
+        mi = _TORCH_INHOUSE_MHA_RE.match(key)
+        if mi is not None:
+            # reference in-house einsum MHA (attention.py:105-244, the
+            # cosine / magnitude-preserving path): projections are stored
+            # [nheads, dmodel, dhead] in BOTH frameworks — raw copy. The
+            # mp variant names its flax params w_mp_* so the optimizer
+            # re-projection finds them (models/nets/attention.py:76-83).
+            j, nm = mi.group(1), mi.group(2)
+            pfx = "w_mp" if mp else "w"
+            pre[f"params/{scope}attn_{j}/MultiHeadAttention_0/{pfx}_{nm}"] \
+                = np.asarray(sd.pop(key))
+            continue
         m = _TORCH_MHA_RE.match(key)
         if m is None:
             continue
@@ -356,7 +392,7 @@ def import_reference_punetg(state_dict: dict, dst_template: Any,
             pre[f"{mha_scope}/bias_o"] = w
         else:
             raise KeyError(f"unmapped attention key: {key}")
-    name_map = punetg_reference_name_map(sd.keys())
+    name_map = punetg_reference_name_map(sd.keys(), convolution_type)
     if scope:
         name_map = scope_name_map(name_map, scope)
     merged = dict(sd)

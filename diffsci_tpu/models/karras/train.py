@@ -86,15 +86,25 @@ def nan_to_zero_grads(grads):
 def renormalize_mp_weights(params, eps: float = 1e-4):
     """Re-project magnitude-preserving weights onto the unit sphere after
     the optimizer step — the functional equivalent of the reference's
-    in-place renorm each forward (normedlayers.py:18-22). Applies to params
-    whose leaf name starts with 'w_mp'."""
+    in-place renorm each forward (normedlayers.py:18-22; attention
+    projections: attention.py:229-243). Applies to params whose leaf name
+    starts with 'w_mp'.
+
+    Attention projections normalize over different axes than dense/conv
+    weights: wq/wk/wv [H, C, dh] over the dmodel axis (1), wo over
+    (heads, dhead) = (0, 2) — matching the reference's in-forward renorm
+    exactly (pinned by tests/test_reference_parity12.py)."""
     from diffsci_tpu.models.nets.normed import normalize
 
     def visit(path, leaf):
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        if name.startswith("w_mp"):
-            return normalize(leaf, eps)
-        return leaf
+        if not name.startswith("w_mp"):
+            return leaf
+        if name in ("w_mp_q", "w_mp_k", "w_mp_v"):
+            return normalize(leaf, eps, axis=(1,))
+        if name == "w_mp_o":
+            return normalize(leaf, eps, axis=(0, 2))
+        return normalize(leaf, eps)
 
     return jax.tree_util.tree_map_with_path(visit, params)
 

@@ -63,6 +63,13 @@ class MultiHeadAttention(nn.Module):
     magnitude_preserving: bool = False
     use_bias: bool = False
     backend: str = "xla"  # 'xla' | 'flash'
+    # The reference's in-house MHA divides EVERY projection by
+    # sqrt(fan_in) — unconditionally, mp or not (attention.py:182-196).
+    # True for the in-house emulation (SpatialSelfAttention cosine/mp
+    # paths); False when this module emulates torch.nn.MultiheadAttention
+    # / plain Linear projections (DiT, MoE), which have no such scale.
+    # magnitude_preserving implies it.
+    fan_in_scaled: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -83,10 +90,15 @@ class MultiHeadAttention(nn.Module):
         wo = self.param(f"{pname}_o", init, (self.num_heads, dmodel, dh))
 
         if self.magnitude_preserving:
-            wq = _norm_weight(wq, "wq") / math.sqrt(dmodel)
-            wk = _norm_weight(wk, "wk") / math.sqrt(dmodel)
-            wv = _norm_weight(wv, "wv") / math.sqrt(dmodel)
-            wo = _norm_weight(wo, "wo") / math.sqrt(self.num_heads * dh)
+            wq = _norm_weight(wq, "wq")
+            wk = _norm_weight(wk, "wk")
+            wv = _norm_weight(wv, "wv")
+            wo = _norm_weight(wo, "wo")
+        if self.fan_in_scaled or self.magnitude_preserving:
+            wq = wq / math.sqrt(dmodel)
+            wk = wk / math.sqrt(dmodel)
+            wv = wv / math.sqrt(dmodel)
+            wo = wo / math.sqrt(self.num_heads * dh)
 
         # [B, T, C] x [H, C, dh] -> [B, H, T, dh]
         q = jnp.einsum("btc,hcd->bhtd", x, wq)
@@ -140,6 +152,7 @@ class SpatialSelfAttention(nn.Module):
             out = MultiHeadAttention(
                 self.num_heads, attn_type=attn_type,
                 magnitude_preserving=self.magnitude_preserving,
+                fan_in_scaled=True,  # reference in-house MHA semantics
                 backend=self.backend)(tokens)
         out = out.reshape((B,) + spatial + (C,))
         if self.attn_residual:
