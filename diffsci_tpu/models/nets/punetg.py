@@ -307,3 +307,102 @@ class PUNetGCond(nn.Module):
             conditional_embedding_args=cemb() if cemb else None,
             has_conditional_embedding=self.conditional_embedding is not None,
             channel_conditional_items=list(self.channel_conditional_items))
+
+
+def calculate_receptive_field(config: PUNetGConfig) -> dict:
+    """Theoretical receptive field of a PUNetG in input pixels
+    (reference punetg.py:423-631): trace every conv through the UNet,
+    accumulating ``rf += (k-1) * stride`` with stride doubling at each
+    DownSampler's pool and halving back at each UpSampler (nearest-
+    neighbor upsampling itself adds no RF). Global attention at the
+    bottleneck (present when number_resnet_attn_block >= 2) makes the
+    RF infinite and tile-based chunking infeasible.
+
+    TPU-build addition: ``space_to_depth=s`` folds s^d input tiles into
+    channels before convin, so every traced stride (and the initial RF)
+    is multiplied by s in true input pixels.
+
+    Returns {'rf', 'has_attention', 'num_attention_layers', 'trace',
+    'feasible_chunking', 'downsampling_factor', 'config_summary'} —
+    the same surface as the reference, so chunk-size planning code can
+    consume either."""
+    trace: list[str] = []
+    summary = dict(
+        number_resnet_attn_block=config.number_resnet_attn_block,
+        number_resnet_downward_block=config.number_resnet_downward_block,
+        number_resnet_upward_block=config.number_resnet_upward_block,
+        number_resnet_before_attn_block=(
+            config.number_resnet_before_attn_block),
+        number_resnet_after_attn_block=config.number_resnet_after_attn_block,
+        kernel_size=config.kernel_size,
+        in_out_kernel_size=config.in_out_kernel_size,
+        transition_kernel_size=config.transition_kernel_size,
+        transition_scale_factor=config.transition_scale_factor,
+        channel_expansion=list(config.channel_expansion),
+        space_to_depth=config.space_to_depth)
+
+    num_attention_layers = max(config.number_resnet_attn_block - 1, 0)
+    if num_attention_layers > 0:
+        trace.append(f"ATTENTION: {num_attention_layers} global attention "
+                     "layer(s) flatten all spatial dims -> RF infinite")
+        return dict(rf=float("inf"), has_attention=True,
+                    num_attention_layers=num_attention_layers, trace=trace,
+                    feasible_chunking=False, config_summary=summary)
+
+    s2d = max(int(config.space_to_depth), 1)
+    rf, stride = s2d, s2d  # one folded pixel covers an s^d input tile
+    trace.append(f"initial: rf={rf} stride={stride}"
+                 + (f" (space_to_depth={s2d})" if s2d > 1 else ""))
+
+    def conv(rf, k, stride, name):
+        add = (k - 1) * stride
+        trace.append(f"{name} (k={k}): rf {rf} -> {rf + add}")
+        return rf + add
+
+    def resblock(rf, stride, name):
+        # ResnetBlockC: norm -> SiLU -> conv, twice (layers.py)
+        add = 2 * (config.kernel_size - 1) * stride
+        trace.append(f"{name} (2x k={config.kernel_size}): "
+                     f"rf {rf} -> {rf + add}")
+        return rf + add
+
+    if config.in_embedding:
+        # ConvolutionalFourierProjection is 1x1-equivalent: no RF change
+        trace.append("convin (Fourier embedding): no rf change")
+    else:
+        rf = conv(rf, config.in_out_kernel_size, stride, "convin")
+
+    levels = len(config.channel_expansion)
+    for lv in range(levels):
+        for j in range(config.number_resnet_downward_block):
+            rf = resblock(rf, stride, f"down[{lv}].res[{j}]")
+        pool = config.transition_scale_factor
+        rf += (pool - 1) * stride
+        stride *= pool
+        trace.append(f"down[{lv}].maxpool (k={pool}): rf={rf} "
+                     f"stride={stride}")
+        rf = conv(rf, config.transition_kernel_size, stride,
+                  f"down[{lv}].conv")
+
+    for j in range(config.number_resnet_before_attn_block):
+        rf = resblock(rf, stride, f"before[{j}]")
+    for j in range(config.number_resnet_attn_block):
+        rf = resblock(rf, stride, f"attn_res[{j}]")
+    for j in range(config.number_resnet_after_attn_block):
+        rf = resblock(rf, stride, f"after[{j}]")
+
+    for lv in range(levels - 1, -1, -1):
+        stride //= config.transition_scale_factor
+        trace.append(f"up[{lv}].upsample: no rf change, stride={stride}")
+        rf = conv(rf, config.transition_kernel_size, stride,
+                  f"up[{lv}].conv")
+        for j in range(config.number_resnet_upward_block):
+            rf = resblock(rf, stride, f"up[{lv}].res[{j}]")
+
+    rf = conv(rf, config.in_out_kernel_size, stride, "convout")
+    trace.append(f"final rf={rf}")
+    return dict(
+        rf=rf, has_attention=False, num_attention_layers=0, trace=trace,
+        feasible_chunking=True,
+        downsampling_factor=(config.transition_scale_factor ** levels) * s2d,
+        config_summary=summary)

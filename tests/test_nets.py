@@ -330,3 +330,48 @@ def test_punetg_odd_spatial_levels():
         g = jax.grad(lambda v: jnp.sum(net.apply(v, xb, t) ** 2))(vs)
         assert all(bool(jnp.all(jnp.isfinite(l)))
                    for l in jax.tree.leaves(g))
+
+
+def test_punetg_receptive_field_matches_reference():
+    """calculate_receptive_field pinned against the reference's own
+    calculator (punetg.py:423-631) executed offline on three configs:
+    rf 122/df 4 (two levels, no attention), rf inf (global attention
+    when number_resnet_attn_block >= 2), and rf 482/df 8 (three levels,
+    k=5, in_out_kernel_size=1)."""
+    from diffsci_tpu.models.nets.punetg import calculate_receptive_field
+
+    out = calculate_receptive_field(nets.PUNetGConfig(
+        model_channels=8, channel_expansion=[2, 4],
+        number_resnet_downward_block=2, number_resnet_upward_block=2,
+        number_resnet_attn_block=1, number_resnet_before_attn_block=1,
+        number_resnet_after_attn_block=1))
+    assert (out["rf"], out["downsampling_factor"]) == (122, 4)
+    assert out["feasible_chunking"] and not out["has_attention"]
+    assert any("convout" in t for t in out["trace"])
+
+    out = calculate_receptive_field(nets.PUNetGConfig(
+        model_channels=8, channel_expansion=[2],
+        number_resnet_attn_block=2))
+    assert out["rf"] == float("inf")
+    assert out["has_attention"] and out["num_attention_layers"] == 1
+    assert not out["feasible_chunking"]
+
+    out = calculate_receptive_field(nets.PUNetGConfig(
+        model_channels=8, channel_expansion=[2, 2, 4],
+        number_resnet_downward_block=1, number_resnet_upward_block=1,
+        number_resnet_attn_block=1,
+        number_resnet_before_attn_block=2,
+        number_resnet_after_attn_block=2,
+        kernel_size=5, in_out_kernel_size=1))
+    assert (out["rf"], out["downsampling_factor"]) == (482, 8)
+
+    # TPU-build addition: space_to_depth multiplies every stride (and
+    # the base pixel) by s in true input pixels
+    base = calculate_receptive_field(nets.PUNetGConfig(
+        model_channels=8, channel_expansion=[2],
+        number_resnet_attn_block=1))
+    s2d = calculate_receptive_field(nets.PUNetGConfig(
+        model_channels=8, channel_expansion=[2],
+        number_resnet_attn_block=1, space_to_depth=2))
+    assert s2d["rf"] == 2 * base["rf"]
+    assert s2d["downsampling_factor"] == 2 * base["downsampling_factor"]
