@@ -186,29 +186,56 @@ class CheckpointManager:
         the math). Accuracy grows with the number of retained
         checkpoints — raise ``keep_cadence``/``max_to_keep`` on runs
         meant for post-hoc sweeps."""
-        from diffsci_tpu.models.karras.ema import synthesize_posthoc_ema
+        import jax.numpy as jnp
+        from diffsci_tpu.models.karras.ema import solve_posthoc_weights
         if tracker.ema_type != "power":
             raise ValueError("post-hoc synthesis needs power-profile EMA")
         self.wait_until_finished()
         steps = sorted(self._mgr.all_steps())
         if not steps:
             raise ValueError("no checkpoints saved")
-        snapshots, ts, stds = [], [], []
+        # with update_every=K>1 the shadow was last WRITTEN at the most
+        # recent K-boundary (ema.py update: next_update % K == 0), so a
+        # checkpoint at a non-boundary step carries a shadow up to K-1
+        # steps older than the step number — date it by the boundary.
+        # Shadows at effective time 0 are still the init copy and carry
+        # no trajectory information; skip them.
+        K = max(int(getattr(tracker, "update_every", 1)), 1)
+        use_steps = [s for s in steps if (s // K) * K > 0]
+        if not use_steps:
+            raise ValueError("no checkpoint is past the first EMA update "
+                             f"boundary (update_every={K})")
+        ts, stds = [], []
+        for step in use_steps:
+            for s in tracker.power_function_stds:
+                ts.append((step // K) * K)
+                stds.append(s)
+        # weights are solvable from (ts, stds) alone — solve BEFORE
+        # restoring so the checkpoints can be accumulated one at a time
+        # instead of holding every retained shadow in host memory at once
+        if target_t is None:
+            target_t = max(ts)
+        w = solve_posthoc_weights(ts, stds, target_t, target_std)
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct,
                                 state_template)
-        for step in steps:
+        acc = None
+        idx = 0
+        for step in use_steps:
             st = self._mgr.restore(step,
                                    args=ocp.args.StandardRestore(abstract))
             if st.ema is None:
-                continue
-            for i, s in enumerate(tracker.power_function_stds):
-                snapshots.append(st.ema.profiles[i])
-                ts.append(step)
-                stds.append(s)
-        if not snapshots:
-            raise ValueError("saved checkpoints carry no EMA state")
-        return synthesize_posthoc_ema(snapshots, ts, stds, target_std,
-                                      target_t=target_t)
+                raise ValueError(
+                    f"checkpoint at step {step} carries no EMA state")
+            for i in range(len(tracker.power_function_stds)):
+                wi = float(w[idx])
+                idx += 1
+                term = jax.tree.map(
+                    lambda leaf: jnp.float32(wi) * leaf.astype(jnp.float32),
+                    st.ema.profiles[i])
+                acc = term if acc is None else jax.tree.map(
+                    jnp.add, acc, term)
+            del st  # only the running f32 sum stays resident
+        return acc
 
     def close(self):
         self._mgr.wait_until_finished()

@@ -154,14 +154,21 @@ class DDPMModuleV1:
             noise = jax.random.normal(key, x.shape, x.dtype)
         return jnp.sqrt(calpha) * x + jnp.sqrt(1 - calpha) * noise
 
-    def backward(self, variables, key, x, y=None, noise_type: int = 1,
+    def backward(self, variables, key, x, y=None,
+                 noise_type: int | None = None,
                  sampler: str = "ddpm", noise_seq=None):
         """Full reverse process T..1 in one lax.scan.
 
         ``noise_seq`` ([T, *x.shape], t=T first) replays fixed draws —
         the replay hook mirroring the golden fixtures. The t=1 step uses
         no noise (z = 0), matching the reference's ``if t > 1`` gate.
+
+        ``noise_type=None`` resolves per sampler, matching the reference
+        class defaults: 1 for DDPM (ddpmsampler.py:10) and 0 — a
+        deterministic DDIM — for DDIM (ddpmsampler.py:112).
         """
+        if noise_type is None:
+            noise_type = 0 if sampler == "ddim" else 1
         sched = self.scheduler
         T = sched.T
         if y is not None and y.ndim == x.ndim - 1:

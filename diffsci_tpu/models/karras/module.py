@@ -419,12 +419,16 @@ class KarrasModel:
             base = net_fwd(y)
             if guidance != 1.0:
                 uncond = net_fwd(None)
-                g = jnp.asarray(guidance, jnp.float32)
+                # g matches base.dtype so the plain-float guided blend
+                # never upcasts the network output (a strongly-typed f32
+                # scalar would promote a bf16 `base` to f32)
+                g = jnp.asarray(guidance, base.dtype)
                 if guidance_interval is not None:
                     lo, hi = guidance_interval
-                    sig = jnp.asarray(sigma, jnp.float32)
+                    sig = jnp.asarray(sigma, base.dtype)
                     in_band = jnp.logical_and(sig >= lo, sig <= hi)
-                    g = bcast_right(jnp.where(in_band, g, 1.0), x)
+                    g = bcast_right(jnp.where(in_band, g,
+                                              jnp.ones((), base.dtype)), x)
                 base = (1.0 - g) * uncond + g * base
         else:
             base = net_fwd(None)

@@ -443,12 +443,19 @@ class SamplerService:
         return self.stats["samples"] / self.stats["wall_seconds"]
 
 
-def build_server(svc: "SamplerService", port: int = 0):
+def build_server(svc: "SamplerService", port: int = 0,
+                 host: str = "127.0.0.1", max_nsamples: int = 256):
     """Bind minimal stdlib HTTP sampling endpoints over a service:
     GET /healthz, GET /stats, POST /sample {"nsamples": N, "seed": S}.
     port=0 picks a free port (server.server_address[1]). The CLI
     (python -m diffsci_tpu serve) and scripts/serve_http.py wire this
-    to a checkpoint; embedders and tests run it in-process."""
+    to a checkpoint; embedders and tests run it in-process.
+
+    Binds loopback-only by default (the endpoint has no auth and
+    serializes full tensors as JSON); pass ``host=''``/``'0.0.0.0'``
+    explicitly to expose it. ``max_nsamples`` bounds the per-request
+    response size — a 256x28x28 grayscale JSON body is already ~4 MB;
+    raise it deliberately if your deployment wants bigger bodies."""
     import json
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -480,8 +487,9 @@ def build_server(svc: "SamplerService", port: int = 0):
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
                 nsamples = int(req.get("nsamples", 1))
-                if not 0 <= nsamples <= 4096:
-                    raise ValueError("nsamples out of range [0, 4096]")
+                if not 0 <= nsamples <= max_nsamples:
+                    raise ValueError(
+                        f"nsamples out of range [0, {max_nsamples}]")
                 key = (jax.random.PRNGKey(int(req["seed"]))
                        if "seed" in req else None)
                 out = svc.sample(nsamples, key=key)
@@ -493,4 +501,4 @@ def build_server(svc: "SamplerService", port: int = 0):
         def log_message(self, fmt, *a):  # quiet default access log
             pass
 
-    return ThreadingHTTPServer(("", port), Handler)
+    return ThreadingHTTPServer((host, port), Handler)

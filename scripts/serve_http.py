@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--shape", type=int, nargs="+", required=True,
                     help="sample shape without batch dim, e.g. 28 28 1")
     ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--host", default="127.0.0.1",
+                    help="bind address (loopback by default; no auth)")
+    ap.add_argument("--max-nsamples", type=int, default=256)
     ap.add_argument("--buckets", type=int, nargs="+", default=[8, 64])
     ap.add_argument("--nsteps", type=int, default=18)
     ap.add_argument("--ema-stds", type=float, nargs="*", default=[0.05])
@@ -48,8 +51,9 @@ def main():
         batch_window_ms=args.batch_window_ms)
     print("warming up...", flush=True)
     times = svc.warmup(verbose=True)
-    print(f"ready on :{args.port} (warmup {times})", flush=True)
-    build_server(svc, args.port).serve_forever()
+    print(f"ready on {args.host}:{args.port} (warmup {times})", flush=True)
+    build_server(svc, args.port, host=args.host,
+                 max_nsamples=args.max_nsamples).serve_forever()
 
 
 if __name__ == "__main__":
