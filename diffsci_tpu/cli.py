@@ -80,8 +80,28 @@ def cmd_serve(args):
                    batch_window_ms=args.batch_window_ms)
     print("warming up...", flush=True)
     times = svc.warmup(verbose=True)
-    print(f"ready on :{args.port} (warmup {times})", flush=True)
-    build_server(svc, args.port).serve_forever()
+    print(f"ready on {args.host}:{args.port} (warmup {times})", flush=True)
+    build_server(svc, args.port, host=args.host,
+                 max_nsamples=args.max_nsamples).serve_forever()
+    return 0
+
+
+def cmd_profile(args):
+    from diffsci_tpu import profiling
+
+    path = (args.logdir if args.logdir.endswith(".xplane.pb")
+            else profiling.find_xplane(args.logdir))
+    space = profiling.parse_xspace(path)
+    print(f"# {path}")
+    if args.overview:
+        for row in profiling.plane_overview(space)[:20]:
+            print(f"{row['busy_ms']:10.3f} ms {row['events']:7d} ev  "
+                  f"{row['plane']} :: {row['line']}")
+        print()
+    rows = profiling.op_summary(space, plane=args.plane, line=args.line)
+    print(profiling.format_summary(rows, top=args.top))
+    busy = profiling.device_busy_fraction(space, plane=args.plane)
+    print(f"\nbusiest-line occupancy ({args.plane}): {busy:.1%}")
     return 0
 
 
@@ -106,9 +126,27 @@ def main(argv=None):
     p = sub.add_parser("serve", help="HTTP sampling server")
     _add_ckpt_args(p)
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address (loopback by default; the endpoint "
+                        "has no auth — expose deliberately)")
+    p.add_argument("--max-nsamples", type=int, default=256,
+                   help="per-request sample cap (bounds JSON body size)")
     p.add_argument("--buckets", type=int, nargs="+", default=[8, 64])
     p.add_argument("--batch-window-ms", type=float, default=0.0)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser(
+        "profile",
+        help="summarize a jax.profiler trace (no TensorBoard needed)")
+    p.add_argument("logdir", help="profiler logdir or .xplane.pb path")
+    p.add_argument("--plane", default="tpu",
+                   help="substring filter on plane names ('tpu'/'cpu')")
+    p.add_argument("--line", default=None,
+                   help="substring filter on line names (e.g. 'XLA Ops')")
+    p.add_argument("--top", type=int, default=25)
+    p.add_argument("--overview", action="store_true",
+                   help="also list all (plane, line) busy times")
+    p.set_defaults(fn=cmd_profile)
 
     args = ap.parse_args(argv)
     return args.fn(args)
