@@ -69,3 +69,26 @@ def test_train_ensemble_forecast_smoke(tmp_path, monkeypatch):
          ["--steps", "2", "--batch", "8", "--channels", "8",
           "--ensemble", "2", "--eval-ensemble", "2", "--size", "16",
           "--outdir", str(tmp_path)])
+
+
+@pytest.mark.slow
+def test_stochasticity_sweep_multiprocess_matches_sequential(tmp_path,
+                                                             monkeypatch):
+    """--processes N round-robins gamma arms over worker processes with
+    parent-cached real features and parent-pre-split PRNG keys (the
+    reference's colormap-parallel.py pattern) — output must be BITWISE
+    equal to the sequential run."""
+    import json
+
+    seq = tmp_path / "seq.json"
+    par = tmp_path / "par.json"
+    common = ["--gammas", "0.0", "0.5", "1.0", "--nsamples", "16",
+              "--nsteps", "4"]
+    _run(monkeypatch, "stochasticity_sweep",
+         common + ["--out", str(seq)])
+    _run(monkeypatch, "stochasticity_sweep",
+         common + ["--out", str(par), "--processes", "2"])
+    a = json.loads(seq.read_text())
+    b = json.loads(par.read_text())
+    assert list(a) == list(b), (a, b)  # grid order preserved
+    assert a == b, (a, b)              # bitwise-equal scores
