@@ -102,6 +102,25 @@ def main(argv=None):
         args.channels, args.steps = 8, 50
         args.nsamples, args.nfe, args.batch = 16, 6, 16
 
+    if args.data is None:
+        # zero-friction convention: the hour real data lands, drop it at
+        # one of these paths and the same command produces the numbers
+        for cand in ("data/mnist.npz",
+                     str(pathlib.Path(__file__).resolve().parents[1]
+                         / "data" / "mnist.npz"),
+                     "/root/data/mnist.npz"):
+            if pathlib.Path(cand).exists():
+                args.data = cand
+                print(f"found real data at {cand}")
+                break
+    if args.inception_weights is None:
+        for cand in ("data/pt_inception-2015-12-05.pth",
+                     "/root/data/pt_inception-2015-12-05.pth"):
+            if pathlib.Path(cand).exists():
+                args.inception_weights = cand
+                print(f"found inception weights at {cand}")
+                break
+
     import jax
     from diffsci_tpu import ops
     from diffsci_tpu.models import (KarrasModel, KarrasModelConfig, PUNetG,
