@@ -266,14 +266,36 @@ class _GroupNormBase(nn.Module):
         else:
             axes = (x.ndim,)
         if self.subtract_mean:
-            # two-pass variance E[(x-mu)^2]: the one-pass E[x^2]-mu^2 form
-            # cancels catastrophically when |mu| >> std (e.g. post-attention
-            # activations, mu ~ 1, std ~ 0.03: ~3 digits lost). XLA keeps
-            # the centered tensor in registers/VMEM, so no extra HBM read.
-            mean = jnp.mean(xg, axis=axes, keepdims=True)
-            xc = xg - mean
-            ms = jnp.mean(xc ** 2, axis=axes, keepdims=True)
-            xg = xc / jnp.sqrt(ms + self.eps)
+            # Shifted ONE-pass variance. The naive one-pass E[x^2]-mu^2
+            # cancels catastrophically when |mu| >> std (post-attention
+            # activations: mu ~ 1, std ~ 0.03, ~3 digits lost), but the
+            # honest two-pass E[(x-mu)^2] costs a second full HBM read
+            # plus a materialized centered tensor — measured 45% of the
+            # CIFAR-scale train step (docs/artifacts/cifar_profile_r5).
+            # Shifting by m0, the mean of ONE leading spatial row, fixes
+            # the numerics at one-pass cost: var = E[(x-m0)^2]-E[x-m0]^2
+            # only cancels by (mu-m0)^2/var, which Cauchy-Schwarz bounds
+            # by the subsample ratio N/n0 (<= 32 here), i.e. <= 5 bits —
+            # worst-case ~4e-6 relative f32 error vs the f64 truth (the
+            # parity12 MP pin holds at rtol 5e-4). The m0 reduce touches
+            # 1/sp[0] of the tensor; the sum/sumsq pair over (x - m0) is
+            # one sibling-fused XLA pass.
+            if self.spatial and sp and sp[0] >= 2:
+                sub = jax.lax.slice_in_dim(xg, 0, 1, axis=1)
+                m0 = jnp.mean(sub, axis=axes, keepdims=True)
+                xs = xg - m0
+                mean_s = jnp.mean(xs, axis=axes, keepdims=True)
+                ms = (jnp.mean(xs ** 2, axis=axes, keepdims=True)
+                      - mean_s ** 2)
+                ms = jnp.maximum(ms, 0.0)
+                xg = (xs - mean_s) / jnp.sqrt(ms + self.eps)
+            else:
+                # no spatial extent to subsample (e.g. [B, C] inputs):
+                # stay on the exact two-pass form — the tensor is small
+                mean = jnp.mean(xg, axis=axes, keepdims=True)
+                xc = xg - mean
+                ms = jnp.mean(xc ** 2, axis=axes, keepdims=True)
+                xg = xc / jnp.sqrt(ms + self.eps)
         else:
             ms = jnp.mean(xg ** 2, axis=axes, keepdims=True)
             xg = xg / jnp.sqrt(ms + self.eps)

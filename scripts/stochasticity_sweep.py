@@ -32,6 +32,11 @@ import subprocess
 import sys
 import tempfile
 
+# worker subprocesses are spawned with this file's absolute path from an
+# arbitrary cwd — put the repo root on sys.path so `import diffsci_tpu`
+# resolves without an installed package
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 
