@@ -454,9 +454,14 @@ class KarrasModel:
         ParaDiGMS — ops/parallel_sampling.py): each sweep is ONE denoiser
         call of batch window*nsamples instead of a serial step, and the
         frontier advances several steps per sweep where the ODE is smooth
-        — measured 3-5x fewer serial calls at nsteps>=64 (tests). Use
-        when latency matters and throughput is spare (small nsamples on a
-        big chip). ``tol=0`` reproduces sequential Euler exactly. Latent
+        — measured 3-5x fewer serial calls at nsteps>=64 on the analytic
+        MoG oracle (tests). Measured caveat (r5): on a TRAINED shapes
+        model the frontier advanced ~1 step/sweep at tol=1e-3 — no
+        serial saving, and the window*B batch cost wall-clock on a
+        saturated chip (docs/artifacts/picard_restart_trained_r5.json).
+        Use only when latency matters AND throughput is spare (small
+        nsamples on a big chip), and validate the sweep count on your
+        model. ``tol=0`` reproduces sequential Euler exactly. Latent
         models: sample in pixel space is unsupported here — use
         ``sample`` (beyond parity; the reference has no parallel-in-time
         sampler)."""

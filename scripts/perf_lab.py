@@ -273,7 +273,7 @@ def make_arms(lab):
     arms["fewnfe"] = fewnfe
 
     def convergence(tag, tx=None, s2d=1, ema_every=1, cfg_name="mnist",
-                    lr=3e-4, steps=2000, n_data=512):
+                    lr=3e-4, steps=2000, n_data=512, dataset="blobs"):
         """Train 2000 scanned steps on deterministic synthetic blobs;
         gate lever adoption on the deterministic fixed-sigma validation
         loss: a lever only becomes a default if it matches the baseline
@@ -289,14 +289,23 @@ def make_arms(lab):
         H = c["spatial"][0]
         batch = 128
         shape = (batch,) + tuple(c["spatial"]) + (1,)
-        rng = np.random.default_rng(0)
-        yy, xx2 = np.mgrid[0:H, 0:H].astype(np.float32)
-        cx = rng.uniform(8, H - 8, size=(n_data, 1, 1))
-        cy = rng.uniform(8, H - 8, size=(n_data, 1, 1))
-        r = rng.uniform(3, 6, size=(n_data, 1, 1))
-        data = ((np.exp(-(((xx2 - cx) ** 2 + (yy - cy) ** 2)
-                          / (2 * r ** 2))) * 2 - 1)[..., None]
-                .astype(np.float32))
+        if dataset == "shapes":
+            # harder gate data (VERDICT r4 #7): the reference's shapes
+            # distribution (train-diffusion-shapes.py) — hard edges +
+            # multi-object composition, unlike the smooth blobs
+            from diffsci_tpu.data import ShapesDataset
+            data = ShapesDataset(n_data, size=H,
+                                 mode="paper_replica").generate()
+            data = np.asarray(data, np.float32)
+        else:
+            rng = np.random.default_rng(0)
+            yy, xx2 = np.mgrid[0:H, 0:H].astype(np.float32)
+            cx = rng.uniform(8, H - 8, size=(n_data, 1, 1))
+            cy = rng.uniform(8, H - 8, size=(n_data, 1, 1))
+            r = rng.uniform(3, 6, size=(n_data, 1, 1))
+            data = ((np.exp(-(((xx2 - cx) ** 2 + (yy - cy) ** 2)
+                              / (2 * r ** 2))) * 2 - 1)[..., None]
+                    .astype(np.float32))
         tracker = EMATracker(ema_type="power", power_function_stds=[0.05],
                              update_every=ema_every)
         state, tx_built = create_train_state(
@@ -363,6 +372,15 @@ def make_arms(lab):
     arms["conv_cifar_s2d_eqwall"] = lambda: convergence(
         "cifar_s2d_eqwall", s2d=2, cfg_name="cifar", steps=4640,
         n_data=2048)
+    # r5 gate (VERDICT r4 #7): re-pin the s2d equal-wall-clock decision on
+    # the harder shapes distribution at the CIFAR config — the r4 gate
+    # dataset was 448 smooth blobs, conceded "may not transfer"
+    arms["conv_cifar_shapes_f32_eqwall"] = lambda: convergence(
+        "cifar_shapes_f32_eqwall", cfg_name="cifar", steps=2000,
+        n_data=2048, dataset="shapes")
+    arms["conv_cifar_shapes_s2d_eqwall"] = lambda: convergence(
+        "cifar_shapes_s2d_eqwall", s2d=2, cfg_name="cifar", steps=4640,
+        n_data=2048, dataset="shapes")
     return arms
 
 

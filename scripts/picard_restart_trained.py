@@ -164,7 +164,7 @@ def main():
         return np.asarray(x, np.float64).reshape(x.shape[0], -1)
 
     real_f = features(held_out)
-    chunk = 128
+    chunk = min(128, args.nsamples_fid)
     fid_arms = ["euler@18", "heun@18", "picard@18_w8", "restart@18",
                 "euler@100", "picard@100_w16"]
     fkey = jax.random.PRNGKey(23)
