@@ -56,6 +56,28 @@ def test_group_norms(cls, sub_mean, spatial):
         np.testing.assert_allclose(xg.mean(axis=axes), 0.0, atol=0.05)
 
 
+def test_group_ln_variance_numerics_worst_regime():
+    """The shifted one-pass variance (layers.py, subtract_mean branch)
+    must stay f32-accurate where the naive one-pass E[x^2]-mu^2 loses
+    ~3 digits: |mu| >> std (post-attention activations, mu ~ 1, spatial
+    std ~ 3e-4) plus a smooth spatial ramp so row-means differ from the
+    global mean (the shift's own worst case). Pinned against float64
+    ground truth; the naive form lands ~7.5e-3 here."""
+    rng = np.random.default_rng(0)
+    x64 = (1.0 + 3e-4 * rng.standard_normal((4, 32, 32, 16))
+           + 1e-3 * np.linspace(0, 1, 32)[None, :, None, None])
+    norm = layers.GroupLNorm(num_groups=16, num_channels=16, affine=False)
+    v = norm.init(jax.random.PRNGKey(0), jnp.asarray(x64, jnp.float32))
+    y32 = np.asarray(
+        jax.jit(lambda a: norm.apply(v, a))(jnp.asarray(x64, jnp.float32)),
+        np.float64)
+    xg = x64.reshape(4, 32, 32, 16, 1)
+    mean = xg.mean(axis=(1, 2, 4), keepdims=True)
+    var = ((xg - mean) ** 2).mean(axis=(1, 2, 4), keepdims=True)
+    y64 = ((xg - mean) / np.sqrt(var + 1e-5)).reshape(4, 32, 32, 16)
+    assert np.max(np.abs(y32 - y64)) < 5e-4
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("ndim", [2, 3])
 def test_down_up_samplers(ndim):
