@@ -371,11 +371,12 @@ def main():
         return failures
 
     def arm_cifar_s2d():
-        # space_to_depth=2 at the CIFAR config is 2.3x faster but lost
-        # the equal-wall-clock convergence gate (fixed-sigma val 0.093 @
-        # 4640 steps vs plain 0.076 @ 2000 steps, same seconds;
-        # docs/artifacts/perf_lab_r4.json) — opt-in knob, labeled extra,
-        # NOT a composite member.
+        # space_to_depth=2 at the CIFAR config is 2.3x faster; the
+        # equal-wall-clock quality gate is dataset-dependent: LOST on
+        # smooth blobs (0.093 vs 0.076, perf_lab_r4.json) but WON on the
+        # harder shapes distribution (0.231 vs 0.244, perf_lab_r5.json).
+        # Stays an opt-in knob / labeled extra, NOT a composite member:
+        # it changes the architecture vs the reference CIFAR config.
         v = _train_throughput(
             dataclasses_replace(cifar_cfg, space_to_depth=2), batch=128,
             spatial=(32, 32), repeats=3)
