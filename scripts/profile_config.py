@@ -30,6 +30,10 @@ CONFIGS = {
     # train-edm-mnist.py 16ch, train-edm-cifar10.py 128ch)
     "mnist": dict(model_channels=16, channel_expansion=[2, 2],
                   batch=256, spatial=(28, 28)),
+    # the bench HEADLINE config (bench.py main: 64ch [2,4]) — distinct
+    # from 'mnist' above, which is the reference's 16ch training scale
+    "mnist_bench": dict(model_channels=64, channel_expansion=[2, 4],
+                        batch=256, spatial=(28, 28)),
     "cifar": dict(model_channels=128, channel_expansion=[2, 2],
                   batch=128, spatial=(32, 32)),
     "cifar_s2d": dict(model_channels=128, channel_expansion=[2, 2],
