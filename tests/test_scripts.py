@@ -92,3 +92,44 @@ def test_stochasticity_sweep_multiprocess_matches_sequential(tmp_path,
     b = json.loads(par.read_text())
     assert list(a) == list(b), (a, b)  # grid order preserved
     assert a == b, (a, b)              # bitwise-equal scores
+
+
+def test_entropy_time_profile_and_correlations(tmp_path, monkeypatch):
+    """The stochasticity-paper secondary-analysis pair (reference
+    test-time_profile-correlation.py + test-correlation-thresholds.py):
+    the profile study writes per-snapshot entropy curves + score-error
+    profiles, and the threshold scan turns them into a correlation CSV
+    with the notebook's improvement/deterioration scalars."""
+    import csv
+    import json
+
+    out = tmp_path / "etp.json"
+    _run(monkeypatch, "entropy_time_profile",
+         ["--train-steps", "60", "--snapshot-every", "20",
+          "--nsamples", "400", "--nsteps", "12", "--ngamma", "3",
+          "--datasize", "200", "--batch", "64", "--out", str(out)])
+    saved = json.loads(out.read_text())
+    snaps = saved["snapshots"]
+    assert len(snaps) == 3
+    for snap in snaps.values():
+        assert len(snap["gamma_values"]) == 3
+        assert len(snap["sde_entropies"]) == 3
+        assert len(snap["score_errors"]) == 12
+        assert all(v >= 0 for v in snap["score_errors"])
+
+    _run(monkeypatch, "correlation_thresholds",
+         ["--input", str(out), "--epoch-threshold", "0",
+          "--nsteps", "12", "--initial-range", "0.3", "0.9", "3",
+          "--final-range", "0.05", "0.4", "3",
+          "--late-range", "0.01", "0.2", "3"])
+    csv_path = tmp_path / "etp.json.correlations.csv"
+    rows = list(csv.DictReader(open(csv_path)))
+    assert rows
+    types = {r["type"] for r in rows}
+    assert types == {"early_mid_vs_improvement", "late_vs_deterioration"}
+    # triangular grid: every early row satisfies initial > final
+    for r in rows:
+        if r["type"] == "early_mid_vs_improvement":
+            assert float(r["initial_threshold"]) > float(
+                r["final_threshold"])
+            assert int(r["step_initial"]) < int(r["step_final"])
